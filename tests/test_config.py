@@ -1,0 +1,63 @@
+"""Config-system parity tests (YAML inheritance, JSON comments, CLI overrides)."""
+
+import json
+
+from nerf_fusion_tpu.utils.config import (ArgumentParserX, dict_to_args,
+                                          parse_config_json, parse_config_yaml)
+
+
+def test_yaml_include_configs(tmp_path):
+    (tmp_path / "base.yaml").write_text("a: 1\nb: 2\n")
+    (tmp_path / "child.yaml").write_text("include_configs: base.yaml\nb: 3\nc: 4\n")
+    args = parse_config_yaml(tmp_path / "child.yaml")
+    assert args.a == 1 and args.b == 3 and args.c == 4
+
+
+def test_json_comments_and_python_literals(tmp_path):
+    p = tmp_path / "hyper.json"
+    p.write_text('[{"_": "comment", "x": 1}, {"y": None, "z": True}]')
+    args = parse_config_json(p)
+    assert args.x == 1 and args.y is None and args.z is True
+    assert not hasattr(args, "_")
+
+
+def test_argument_parser_x(tmp_path):
+    cfg = tmp_path / "cfg.yaml"
+    cfg.write_text("alpha: 1.5\nname: hello\nmapping:\n  voxel_size: 0.1\n")
+    parser = ArgumentParserX()
+    args = parser.parse_args([str(cfg), "--alpha", "2.5"])
+    assert args.alpha == 2.5
+    assert args.name == "hello"
+    assert args.mapping == {"voxel_size": 0.1}
+
+
+def test_argument_parser_exec(tmp_path):
+    cfg = tmp_path / "cfg.yaml"
+    cfg.write_text("alpha: 1.5\n")
+    parser = ArgumentParserX()
+    args = parser.parse_args([str(cfg), "--exec", "alpha=9.0"])
+    assert args.alpha == 9.0
+
+
+def test_dict_to_args():
+    args = dict_to_args({"voxel_size": 0.1, "bound_min": [0, 0, 0]})
+    assert args.voxel_size == 0.1
+
+
+def test_reference_configs_parse():
+    """Our shipped configs (mirroring the reference keys) must parse."""
+    from pathlib import Path
+    cfg_dir = Path(__file__).resolve().parent.parent / "configs"
+    for name in ["fusion-lr-kt.yaml", "train-cnp.yaml"]:
+        args = parse_config_yaml(cfg_dir / name)
+        assert args is not None
+
+
+def test_reference_hyper_json_parses():
+    from pathlib import Path
+    ref = Path("/root/reference/ckpt/default/hyper.json")
+    if not ref.exists():
+        return
+    args = parse_config_json(ref)
+    assert args.code_length == 29
+    assert args.network_specs["dims"] == [128, 128, 128, 128]
