@@ -1,0 +1,245 @@
+"""Vectorised sparse marching cubes with cross-voxel interpolation.
+
+TPU-native replacement for the reference CUDA kernel
+(system/ext/marching_cubes/mc_interp_kernel.cu; SURVEY.md §2.5): one fused
+XLA program over all (voxel, cell) pairs instead of one CUDA thread each,
+with a fixed triangle budget + prefix-sum compaction instead of an atomic
+append.
+
+Semantics reproduced from the reference kernel:
+  * every meshed voxel carries a ``(2r)^3`` decoder sample grid spanning a
+    half-voxel margin on each side (samples at ``(i - r/2)/r`` for
+    ``i in [0, 2r)``, map.py:641-648);
+  * a cell-corner value blends the estimates of the owning voxel and its
+    lower/upper neighbours per axis (linear cross-fade of the overlapping
+    margins), each source additionally weighted by its predicted std
+    (``STD_W_SDF`` in mc_interp_kernel.cu:32,96-185);
+  * missing neighbour sources just renormalise; the owning voxel is always
+    present so no cell dies (matching the shipped interpolate=True path);
+  * triangles whose any vertex-interpolated std exceeds ``max_std`` are
+    pruned (mc_interp_kernel.cu:297-318).
+
+Differences (intentional, documented):
+  * our case tables are generated with a deterministic ambiguous-face rule,
+    so the mesh is watertight by construction (see ops/mc_tables.py);
+  * triangle winding is outward (toward positive SDF) without the sign flip
+    the reference applies before its kernel (map.py:688).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import voxel as vox
+from .mc_tables import CORNERS, EDGE_CORNERS, EDGE_TABLE, MAX_TRIS_PER_CELL, TRI_TABLE
+
+
+class MCResult(NamedTuple):
+    vertices: jnp.ndarray       # (budget, 3, 3) world-space triangle vertices
+    vertex_std: jnp.ndarray     # (budget, 3)
+    flatten_id: jnp.ndarray     # (budget,) owning voxel flat id
+    valid: jnp.ndarray          # (budget,) bool
+    n_triangles: jnp.ndarray    # () int32 (pre-clamp count)
+
+
+def _corner_field(indexer, batch_map, positions_b, cube_sdf, cube_std,
+                  n_xyz, r: int, latent_capacity: int):
+    """Interpolated (sdf, std) at the (r+1)^3 cell-corner lattice of each voxel.
+
+    :param positions_b: (B,) flat voxel ids of the meshing batch.
+    :param cube_sdf/std: (B, 2r, 2r, 2r).
+    :return: sdf, std (B, r+1, r+1, r+1).
+    """
+    B = cube_sdf.shape[0]
+    n_xyz_arr = jnp.asarray(n_xyz, jnp.int32)
+    vox_xyz = vox.unlinearize_id(positions_b, n_xyz)                 # (B,3)
+
+    rp = np.arange(r + 1)
+    rpx, rpy, rpz = np.meshgrid(rp, rp, rp, indexing="ij")
+    rpos = jnp.asarray(np.stack([rpx, rpy, rpz], -1).reshape(-1, 3), jnp.int32)  # (P,3)
+    P = rpos.shape[0]
+    rbound = (r - 1) // 2
+    rstart = r // 2
+    rmid = r / 2.0
+
+    lower = rpos <= rbound                                            # (P,3)
+    rposf = rpos.astype(jnp.float32)
+    # Per-axis source descriptors for the m/p sides (offset, sample idx, weight).
+    off_m = jnp.where(lower, -1, 0)                                   # (P,3)
+    off_p = jnp.where(lower, 0, 1)
+    idx_m = jnp.where(lower, rpos + r + rstart, rpos + rstart)
+    idx_p = jnp.where(lower, rpos + rstart, rpos + rstart - r)
+    w_m = jnp.where(lower, rmid - rposf, rmid + r - rposf) / r
+    w_p = jnp.where(lower, rposf + rmid, rposf - rmid) / r
+
+    num_sdf = jnp.zeros((B, P))
+    den_sdf = jnp.zeros((B, P))
+    num_std = jnp.zeros((B, P))
+    den_std = jnp.zeros((B, P))
+
+    for sx in (0, 1):
+        for sy in (0, 1):
+            for sz in (0, 1):
+                sel = (sx, sy, sz)
+                off = jnp.stack([(off_p if s else off_m)[:, a]
+                                 for a, s in enumerate(sel)], axis=-1)   # (P,3)
+                idx = jnp.stack([(idx_p if s else idx_m)[:, a]
+                                 for a, s in enumerate(sel)], axis=-1)   # (P,3)
+                w = ((w_p if sx else w_m)[:, 0]
+                     * (w_p if sy else w_m)[:, 1]
+                     * (w_p if sz else w_m)[:, 2])                       # (P,)
+                src_xyz = vox_xyz[:, None, :] + off[None, :, :]          # (B,P,3)
+                inb = jnp.all((src_xyz >= 0) & (src_xyz < n_xyz_arr), axis=-1)
+                src_gid = vox.linearize_id(
+                    jnp.clip(src_xyz, 0, n_xyz_arr - 1), n_xyz)          # (B,P)
+                slot = indexer[src_gid]
+                slot_c = jnp.clip(slot, 0, latent_capacity - 1)
+                src_b = batch_map[slot_c]
+                ok = inb & (slot >= 0) & (src_b >= 0)
+                src_bc = jnp.clip(src_b, 0, B - 1)
+                s_val = cube_sdf[src_bc, idx[None, :, 0], idx[None, :, 1], idx[None, :, 2]]
+                s_std = cube_std[src_bc, idx[None, :, 0], idx[None, :, 1], idx[None, :, 2]]
+                wm = jnp.where(ok, w[None, :], 0.0)
+                num_sdf += s_val * s_std * wm
+                den_sdf += s_std * wm
+                num_std += s_std * wm
+                den_std += wm
+
+    sdf = num_sdf / jnp.maximum(den_sdf, 1e-12)
+    std = num_std / jnp.maximum(den_std, 1e-12)
+    shape = (B, r + 1, r + 1, r + 1)
+    return sdf.reshape(shape), std.reshape(shape)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_xyz", "r", "latent_capacity", "budget", "voxel_size"))
+def marching_cubes_sparse(indexer, batch_map, positions_b, batch_valid,
+                          cube_sdf, cube_std,
+                          n_xyz, voxel_size, bound_min,
+                          r: int, latent_capacity: int,
+                          max_std: float, budget: int) -> MCResult:
+    """Extract triangles for a batch of voxels.
+
+    :param indexer: (n_voxels,) flat id -> slot.
+    :param batch_map: (C,) slot -> batch row | -1.
+    :param positions_b: (B,) flat voxel id per batch row.
+    :param batch_valid: (B,) bool (padding rows off).
+    :param cube_sdf/cube_std: (B, 2r, 2r, 2r) decoder samples.
+    :param max_std: vertex std pruning threshold (traced).
+    :param budget: max triangles returned (static).
+    """
+    B = cube_sdf.shape[0]
+    sdf, std = _corner_field(indexer, batch_map, positions_b, cube_sdf, cube_std,
+                             n_xyz, r, latent_capacity)
+
+    # Cells: (r^3 per voxel); corner c of cell (x,y,z) sits at (x,y,z)+CORNERS[c].
+    cr = np.arange(r)
+    cx, cy, cz = np.meshgrid(cr, cr, cr, indexing="ij")
+    cell = jnp.asarray(np.stack([cx, cy, cz], -1).reshape(-1, 3), jnp.int32)  # (Q,3)
+    Q = cell.shape[0]
+    corners_i = jnp.asarray(CORNERS.astype(np.int32))                  # (8,3)
+    cidx = cell[:, None, :] + corners_i[None, :, :]                    # (Q,8,3)
+    c_sdf = sdf[:, cidx[..., 0], cidx[..., 1], cidx[..., 2]]           # (B,Q,8)
+    c_std = std[:, cidx[..., 0], cidx[..., 1], cidx[..., 2]]
+
+    inside = (c_sdf < 0).astype(jnp.int32)
+    config = jnp.sum(inside * (2 ** jnp.arange(8, dtype=jnp.int32))[None, None, :],
+                     axis=-1)                                          # (B,Q)
+
+    # Vertex on each of the 12 edges (sdf-weighted lerp; mc_interp_kernel.cu:187-200).
+    ec = jnp.asarray(EDGE_CORNERS)                                     # (12,2)
+    v1 = c_sdf[..., ec[:, 0]]
+    v2 = c_sdf[..., ec[:, 1]]                                          # (B,Q,12)
+    s1 = c_std[..., ec[:, 0]]
+    s2 = c_std[..., ec[:, 1]]
+    denom = v2 - v1
+    t = jnp.where(jnp.abs(denom) < 1e-5, 0.0, -v1 / jnp.where(denom == 0, 1.0, denom))
+    t = jnp.where(jnp.abs(v1) < 1e-5, 0.0, jnp.where(jnp.abs(v2) < 1e-5, 1.0, t))
+    t = jnp.clip(t, 0.0, 1.0)
+    p1 = jnp.asarray(CORNERS[EDGE_CORNERS[:, 0]], jnp.float32)          # (12,3)
+    p2 = jnp.asarray(CORNERS[EDGE_CORNERS[:, 1]], jnp.float32)
+    edge_pos = p1[None, None] + t[..., None] * (p2 - p1)[None, None]    # (B,Q,12,3)
+    edge_std = s1 + t * (s2 - s1)                                       # (B,Q,12)
+
+    # Cell origin in grid units.
+    vox_xyz = vox.unlinearize_id(positions_b, n_xyz).astype(jnp.float32)  # (B,3)
+    cell_origin = vox_xyz[:, None, :] + cell[None, :, :].astype(jnp.float32) / r
+    edge_world = (cell_origin[:, :, None, :] + edge_pos / r) * voxel_size \
+        + bound_min[None, None, None, :]                               # (B,Q,12,3)
+
+    # Triangles via the generated table.
+    tri_tab = jnp.asarray(TRI_TABLE)                                   # (256, 3*max)
+    tri_edges = tri_tab[config].reshape(B, Q, MAX_TRIS_PER_CELL, 3)    # (B,Q,T,3)
+    tri_ok = tri_edges[..., 0] >= 0
+    te = jnp.clip(tri_edges, 0, 11)
+    # Gather vertex positions/stds per triangle corner.
+    bq_idx = jnp.arange(B)[:, None, None, None], jnp.arange(Q)[None, :, None, None]
+    verts = edge_world[bq_idx[0], bq_idx[1], te]                       # (B,Q,T,3,3)
+    vstd = edge_std[bq_idx[0], bq_idx[1], te]                          # (B,Q,T,3)
+
+    tri_valid = tri_ok & batch_valid[:, None, None] \
+        & (jnp.max(vstd, axis=-1) <= max_std)
+
+    # Prefix-sum compaction into the fixed budget.
+    flat_valid = tri_valid.reshape(-1)
+    flat_verts = verts.reshape(-1, 3, 3)
+    flat_std = vstd.reshape(-1, 3)
+    flat_fid = jnp.broadcast_to(positions_b[:, None, None],
+                                (B, Q, MAX_TRIS_PER_CELL)).reshape(-1)
+    n_tri = jnp.sum(flat_valid).astype(jnp.int32)
+    rank = jnp.cumsum(flat_valid) - 1
+    dest = jnp.where(flat_valid & (rank < budget), rank, budget)
+    out_verts = jnp.zeros((budget + 1, 3, 3)).at[dest].set(flat_verts, mode="drop")
+    out_std = jnp.zeros((budget + 1, 3)).at[dest].set(flat_std, mode="drop")
+    out_fid = jnp.full((budget + 1,), -1, jnp.int32).at[dest].set(
+        flat_fid.astype(jnp.int32), mode="drop")
+    valid = jnp.arange(budget) < n_tri
+    return MCResult(out_verts[:budget], out_std[:budget], out_fid[:budget],
+                    valid, n_tri)
+
+
+def dense_marching_cubes(field: np.ndarray, origin=(0.0, 0.0, 0.0), spacing=1.0):
+    """Host-side dense-grid marching cubes (numpy) over a scalar field.
+
+    Debug/test utility sharing the generated tables with the sparse TPU op.
+    :param field: (X, Y, Z) SDF samples (inside < 0).
+    :return: (T, 3, 3) triangles, outward winding (normals toward sdf > 0).
+    """
+    X, Y, Z = field.shape
+    inside = field < 0
+    cfg = np.zeros((X - 1, Y - 1, Z - 1), np.int32)
+    for bit, (dx, dy, dz) in enumerate(CORNERS.astype(int)):
+        cfg |= inside[dx:X - 1 + dx, dy:Y - 1 + dy, dz:Z - 1 + dz] << bit
+    cells = np.argwhere((cfg > 0) & (cfg < 255))
+    tris = []
+    for x, y, z in cells:
+        vals = np.array([field[x + int(c[0]), y + int(c[1]), z + int(c[2])]
+                         for c in CORNERS])
+        row = TRI_TABLE[cfg[x, y, z]]
+        everts = {}
+        for e in set(row[row >= 0].tolist()):
+            a, b = EDGE_CORNERS[e]
+            va, vb = vals[a], vals[b]
+            if abs(va) < 1e-12:
+                t = 0.0
+            elif abs(vb) < 1e-12:
+                t = 1.0
+            elif abs(vb - va) < 1e-12:
+                t = 0.0
+            else:
+                t = va / (va - vb)
+            everts[e] = CORNERS[a] + t * (CORNERS[b] - CORNERS[a])
+        for i in range(0, len(row), 3):
+            if row[i] < 0:
+                break
+            tri = np.stack([everts[row[i]], everts[row[i + 1]], everts[row[i + 2]]])
+            tris.append((tri + np.array([x, y, z])) * spacing + np.asarray(origin))
+    if not tris:
+        return np.zeros((0, 3, 3))
+    return np.stack(tris)

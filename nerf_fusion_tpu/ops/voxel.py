@@ -1,0 +1,132 @@
+"""Static-shape voxel indexing primitives.
+
+The reference leans on dynamic-shape torch ops (boolean indexing,
+``torch.unique``, atomic CUDA scatter kernels — system/map.py:367-453,
+system/ext/indexing.cu) that do not exist under XLA.  This module provides
+the TPU-native replacements (SURVEY.md §7.1):
+
+  * linearize/unlinearize of 3-D voxel ids (parity: system/map.py:287-301)
+  * sort-based ``masked_unique`` producing a fixed-size padded id buffer
+  * per-element occurrence counting via searchsorted (replaces
+    ``torch.unique(..., return_counts=True)`` pruning at map.py:374-379)
+  * masked ``segment_sum`` group-by (replaces indexing.cu groupby_sum)
+  * fixed-capacity compaction by rank (replaces boolean indexing).
+
+All functions are jit-safe: fixed output shapes, validity masks instead of
+variable lengths.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def linearize_id(xyz: jnp.ndarray, n_xyz) -> jnp.ndarray:
+    """(…,3) integer grid coords -> (…,) flat id (x-major, z-fastest)."""
+    return (xyz[..., 0] * n_xyz[1] + xyz[..., 1]) * n_xyz[2] + xyz[..., 2]
+
+
+def unlinearize_id(idx: jnp.ndarray, n_xyz) -> jnp.ndarray:
+    """(…,) flat id -> (…,3) grid coords."""
+    nyz = n_xyz[1] * n_xyz[2]
+    return jnp.stack([idx // nyz, (idx // n_xyz[2]) % n_xyz[1], idx % n_xyz[2]], axis=-1)
+
+
+def world_to_grid(xyz: jnp.ndarray, bound_min: jnp.ndarray, voxel_size: float):
+    """World points -> (normalised coords in voxel units, integer grid id).
+
+    Grid id convention matches the reference: ``ceil(x_norm) - 1``
+    (system/map.py:367-369), i.e. voxel ``i`` owns ``(i, i+1]``.
+    """
+    xyz_norm = (xyz - bound_min[None, :]) / voxel_size
+    grid_id = jnp.ceil(xyz_norm).astype(jnp.int32) - 1
+    return xyz_norm, grid_id
+
+
+def in_bounds(grid_id: jnp.ndarray, n_xyz) -> jnp.ndarray:
+    """(…,3) -> (…,) bool: inside the map's dense extent."""
+    ok = (grid_id >= 0) & (grid_id < jnp.asarray(n_xyz, dtype=grid_id.dtype)[None, :])
+    return jnp.all(ok, axis=-1)
+
+
+def occurrence_count(ids: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
+    """Per-element count of how many valid entries share the same id.
+
+    Sort-free interface: O(N log N) sort + two searchsorteds. Invalid
+    entries get count 0.
+    """
+    big = jnp.iinfo(ids.dtype).max
+    keyed = jnp.where(valid, ids, big)
+    s = jnp.sort(keyed)
+    left = jnp.searchsorted(s, keyed, side="left")
+    right = jnp.searchsorted(s, keyed, side="right")
+    return jnp.where(valid, right - left, 0)
+
+
+def masked_unique(ids: jnp.ndarray, valid: jnp.ndarray, capacity: int):
+    """Unique valid ids compacted into a ``capacity``-sized buffer.
+
+    :return: (unique_ids (capacity,), unique_valid (capacity,) bool,
+              n_unique () int32 — clamped to capacity, overflow () bool).
+    """
+    big = jnp.iinfo(ids.dtype).max
+    keyed = jnp.where(valid, ids, big)
+    s = jnp.sort(keyed)
+    is_first = jnp.concatenate([jnp.ones((1,), bool), s[1:] != s[:-1]]) & (s != big)
+    rank = jnp.cumsum(is_first) - 1
+    n_unique = jnp.sum(is_first).astype(jnp.int32)
+    overflow = n_unique > capacity
+    dest = jnp.where(is_first & (rank < capacity), rank, capacity)
+    out = jnp.zeros((capacity + 1,), dtype=ids.dtype).at[dest].set(s, mode="drop")
+    out = out[:capacity]
+    uvalid = jnp.arange(capacity) < n_unique
+    return jnp.where(uvalid, out, 0), uvalid, jnp.minimum(n_unique, capacity), overflow
+
+
+def compact_by_mask(values: jnp.ndarray, mask: jnp.ndarray, capacity: int, fill=0):
+    """Scatter ``values[mask]`` (in order) into a fixed buffer of ``capacity``.
+
+    :return: (out (capacity, …), out_valid (capacity,), n () int32).
+    """
+    rank = jnp.cumsum(mask) - 1
+    n = jnp.sum(mask).astype(jnp.int32)
+    dest = jnp.where(mask & (rank < capacity), rank, capacity)
+    out_shape = (capacity + 1,) + values.shape[1:]
+    out = jnp.full(out_shape, fill, dtype=values.dtype).at[dest].set(values, mode="drop")
+    out_valid = jnp.arange(capacity) < n
+    return out[:capacity], out_valid, jnp.minimum(n, capacity)
+
+
+def masked_segment_sum(values: jnp.ndarray, seg_ids: jnp.ndarray,
+                       valid: jnp.ndarray, num_segments: int):
+    """segment-sum of ``values`` rows into ``num_segments`` buckets.
+
+    Invalid rows are routed to a discard bucket.  Replaces the atomicAdd
+    groupby_sum CUDA kernel (system/ext/indexing.cu:59-71) with an XLA
+    scatter-add, which TPU lowers to an efficient sorted segmented reduce.
+    """
+    seg = jnp.where(valid, seg_ids, num_segments)
+    if values.ndim == 1:
+        values = jnp.where(valid, values, 0)
+    else:
+        values = values * valid[:, None].astype(values.dtype)
+    out = jax.ops.segment_sum(values, seg, num_segments=num_segments + 1)
+    return out[:num_segments]
+
+
+def expand_neighbors6(flat_ids: jnp.ndarray, valid: jnp.ndarray, n_xyz):
+    """Each id -> itself + its 6 axis neighbours (clamped to bounds).
+
+    Parity: the dummy-voxel expansion used for allocation and meshing
+    (system/map.py:546-558).  Returns ((7N,) ids, (7N,) valid).
+    """
+    xyz = unlinearize_id(flat_ids, n_xyz)
+    offsets = jnp.asarray([[0, 0, 0], [-1, 0, 0], [1, 0, 0],
+                           [0, -1, 0], [0, 1, 0], [0, 0, -1], [0, 0, 1]],
+                          dtype=xyz.dtype)
+    nb = xyz[:, None, :] + offsets[None, :, :]
+    nb = jnp.clip(nb, 0, jnp.asarray(n_xyz, dtype=xyz.dtype)[None, None, :] - 1)
+    nb_flat = linearize_id(nb, n_xyz).reshape(-1)
+    nb_valid = jnp.broadcast_to(valid[:, None], (valid.shape[0], 7)).reshape(-1)
+    return nb_flat, nb_valid

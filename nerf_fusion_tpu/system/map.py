@@ -1,0 +1,292 @@
+"""Sparse latent voxel map ("PLIVox") as functional JAX state.
+
+Capability parity with the reference ``DenseIndexedMap`` (system/map.py:158-580;
+SURVEY.md §2.1/§3.3) redesigned TPU-first (SURVEY.md §7.1):
+
+  * ``MapState`` is an immutable pytree of fixed-capacity buffers — a dense
+    ``indexer`` (flat voxel id -> latent slot, -1 empty) plus SoA slot
+    attributes (latents, positions, obs_count, optimized).  The reference's
+    amortised buffer doubling (map.py:263-285), snapshot ``backup_vars`` and
+    ``modifying_lock`` (map.py:214-233) all disappear: an old state IS a
+    snapshot, so the async mesher can read one while integration produces
+    the next.
+  * ``integrate_keyframe`` is one jitted program: observation pruning by
+    per-voxel support (torch.unique counts -> sort/searchsorted), voxel
+    allocation with 6-neighbour dummy expansion (scatter by cumsum-rank
+    instead of data-dependent shapes), the x8 corner gather, the shared
+    point-encoder MLP, and the Bayesian running-mean latent update
+    (segment-sum instead of the atomicAdd groupby CUDA kernel).
+  * ``get_sdf`` evaluates the decoder on all query points with a validity
+    mask (instead of boolean-compacting), so the tracker can differentiate
+    straight through it on device.
+
+Capacity overflow sets ``state.overflow`` which the host-side wrapper
+checks after each integration (explicit failure instead of silent realloc).
+"""
+
+from __future__ import annotations
+
+import functools
+import logging
+from pathlib import Path
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.decoder import apply_decoder
+from ..models.encoder import apply_encoder
+from ..ops import voxel as vox
+
+
+class MapConfig(NamedTuple):
+    """Static (hashable) map geometry + fusion thresholds."""
+    n_xyz: tuple                 # (Nx, Ny, Nz)
+    voxel_size: float
+    bound_min: tuple             # (3,)
+    prune_min_vox_obs: int       # drop voxels observed by fewer points (map.py:374)
+    ignore_count_th: float       # min obs count for SDF queries / meshing
+    encoder_count_th: float      # stop encoder updates above this confidence
+    latent_dim: int
+    latent_capacity: int         # max allocated voxels (C)
+    alloc_capacity: int          # max new voxels per integrate call
+
+    @property
+    def n_voxels(self):
+        return int(np.prod(self.n_xyz))
+
+    @staticmethod
+    def from_args(args, latent_dim: int) -> "MapConfig":
+        n_xyz = tuple(int(x) for x in np.ceil(
+            (np.asarray(args.bound_max) - np.asarray(args.bound_min)) / args.voxel_size))
+        return MapConfig(
+            n_xyz=n_xyz,
+            voxel_size=float(args.voxel_size),
+            bound_min=tuple(float(x) for x in args.bound_min),
+            prune_min_vox_obs=int(args.prune_min_vox_obs),
+            ignore_count_th=float(args.ignore_count_th),
+            encoder_count_th=float(args.encoder_count_th),
+            latent_dim=latent_dim,
+            latent_capacity=int(getattr(args, "latent_capacity", 40960)),
+            alloc_capacity=int(getattr(args, "alloc_capacity", 8192)),
+        )
+
+
+class MapState(NamedTuple):
+    """Donatable functional map state."""
+    indexer: jnp.ndarray      # (n_voxels,) int32: flat voxel id -> slot | -1
+    latents: jnp.ndarray      # (C, L) f32
+    positions: jnp.ndarray    # (C,) int32: slot -> flat voxel id | -1
+    obs_count: jnp.ndarray    # (C,) f32
+    optimized: jnp.ndarray    # (C,) bool
+    n_occupied: jnp.ndarray   # () int32
+    overflow: jnp.ndarray     # () bool
+
+
+def init_state(cfg: MapConfig) -> MapState:
+    C = cfg.latent_capacity
+    return MapState(
+        indexer=jnp.full((cfg.n_voxels,), -1, jnp.int32),
+        latents=jnp.zeros((C, cfg.latent_dim), jnp.float32),
+        positions=jnp.full((C,), -1, jnp.int32),
+        obs_count=jnp.zeros((C,), jnp.float32),
+        optimized=jnp.zeros((C,), bool),
+        n_occupied=jnp.zeros((), jnp.int32),
+        overflow=jnp.zeros((), bool),
+    )
+
+
+# The 8 corner offsets: every surface point contributes to the voxel that
+# contains it under each half-voxel shift (map.py:186-189).
+_CORNER_OFFSETS = np.array(
+    [[dx, dy, dz] for dx in (-0.5, 0.5) for dy in (-0.5, 0.5) for dz in (-0.5, 0.5)],
+    dtype=np.float32)
+
+
+def _allocate(state: MapState, cfg: MapConfig, gid: jnp.ndarray, valid: jnp.ndarray):
+    """Allocate slots for unseen voxels among ``gid`` plus 6-neighbour dummies."""
+    # Unique unseen voxel ids among the observations.
+    unseen = valid & (state.indexer[jnp.clip(gid, 0, cfg.n_voxels - 1)] == -1)
+    uniq, uniq_valid, _, ovf1 = vox.masked_unique(gid, unseen, cfg.alloc_capacity)
+    # Expand with the 6 axis neighbours (dummy voxels aiding mesh extraction).
+    exp_ids, exp_valid = vox.expand_neighbors6(uniq, uniq_valid, cfg.n_xyz)
+    cand, cand_valid, _, ovf2 = vox.masked_unique(exp_ids, exp_valid, 7 * cfg.alloc_capacity)
+    # Keep only still-unallocated candidates and assign slots by rank.
+    new = cand_valid & (state.indexer[cand] == -1)
+    rank = jnp.cumsum(new) - 1
+    n_new = jnp.sum(new).astype(jnp.int32)
+    slot = state.n_occupied + rank.astype(jnp.int32)
+    fits = new & (slot < cfg.latent_capacity)
+    indexer = state.indexer.at[jnp.where(fits, cand, cfg.n_voxels)].set(
+        jnp.where(fits, slot, -1), mode="drop")
+    positions = state.positions.at[jnp.where(fits, slot, cfg.latent_capacity)].set(
+        cand.astype(jnp.int32), mode="drop")
+    n_occ = jnp.minimum(state.n_occupied + n_new, cfg.latent_capacity)
+    overflow = state.overflow | ovf1 | ovf2 | (state.n_occupied + n_new > cfg.latent_capacity)
+    return state._replace(indexer=indexer, positions=positions,
+                          n_occupied=n_occ, overflow=overflow)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "enc_cfg"), donate_argnames=("state",))
+def integrate_keyframe(state: MapState, cfg: MapConfig,
+                       enc_params, enc_bn, enc_cfg,
+                       points: jnp.ndarray, normals: jnp.ndarray,
+                       valid: jnp.ndarray):
+    """Fuse one oriented point cloud into the latent map.
+
+    :param points:  (N, 3) world-space surface points (pose-transformed).
+    :param normals: (N, 3) world-space normals.
+    :param valid:   (N,) bool padding mask.
+    :return: (new_state, updated_mask (C,) bool, stats dict)
+
+    Mirrors system/map.py:341-453 (allocation + encoder fusion path; the
+    latent-refinement branch lives in ``refine``).
+    """
+    bound_min = jnp.asarray(cfg.bound_min, jnp.float32)
+    xyz_norm, grid = vox.world_to_grid(points, bound_min, cfg.voxel_size)
+    valid = valid & vox.in_bounds(grid, cfg.n_xyz)
+    gid = vox.linearize_id(jnp.clip(grid, 0, jnp.asarray(cfg.n_xyz) - 1), cfg.n_xyz)
+
+    # 1. Prune sparse observations (unique-count threshold, map.py:374-379).
+    if cfg.prune_min_vox_obs > 0:
+        counts = vox.occurrence_count(gid, valid)
+        valid = valid & (counts > cfg.prune_min_vox_obs)
+
+    # 2. Allocate unseen voxels (+ dummy neighbours).
+    state = _allocate(state, cfg, gid, valid)
+
+    # 3. Encoder-eligible voxels: allocated and still below the confidence cap.
+    enc_slot_mask = (state.positions >= 0) & (state.obs_count < cfg.encoder_count_th)
+
+    # Reference pre-prune (map.py:390-398): a point participates only if its
+    # own voxel lies in the 6-neighbour expansion of the encoder voxel set.
+    enc_pos = jnp.where(enc_slot_mask, state.positions, 0)
+    exp_ids, exp_valid = vox.expand_neighbors6(enc_pos, enc_slot_mask, cfg.n_xyz)
+    focus_grid = jnp.zeros((cfg.n_voxels,), bool).at[
+        jnp.where(exp_valid, exp_ids, 0)].set(exp_valid, mode="drop")
+    point_focus = valid & focus_grid[gid]
+
+    # 4. x8 corner gather: assign each point to its 8 shifted voxels.
+    n_xyz_arr = jnp.asarray(cfg.n_xyz, jnp.int32)
+    offs = jnp.asarray(_CORNER_OFFSETS)                         # (8,3)
+    tgt = jnp.ceil(xyz_norm[:, None, :] + offs[None, :, :]).astype(jnp.int32) - 1
+    tgt = jnp.clip(tgt, 0, n_xyz_arr[None, None, :] - 1)        # (N,8,3)
+    rel = xyz_norm[:, None, :] - tgt.astype(jnp.float32) - 0.5  # (N,8,3)
+    tgt_gid = vox.linearize_id(tgt, cfg.n_xyz)                  # (N,8)
+    tgt_slot = state.indexer[tgt_gid]                           # (N,8)
+    contrib = point_focus[:, None] & (tgt_slot >= 0) & enc_slot_mask[
+        jnp.clip(tgt_slot, 0, cfg.latent_capacity - 1)]         # (N,8)
+
+    feats = jnp.concatenate(
+        [rel, jnp.broadcast_to(normals[:, None, :], rel.shape)], axis=-1
+    ).reshape(-1, 6)                                            # (8N, 6)
+
+    # 5. Shared-MLP encoder over all (point, corner) pairs.
+    enc_latent, _ = apply_encoder(enc_params, enc_bn, enc_cfg, feats, train=False)
+
+    # 6. Bayesian running-mean fusion via segment-sum (map.py:446-452).
+    seg = jnp.clip(tgt_slot.reshape(-1), 0, cfg.latent_capacity - 1)
+    cmask = contrib.reshape(-1)
+    lat_sum = vox.masked_segment_sum(enc_latent, seg, cmask, cfg.latent_capacity)
+    cnt = vox.masked_segment_sum(jnp.ones_like(seg, jnp.float32), seg, cmask,
+                                 cfg.latent_capacity)
+    new_total = state.obs_count + cnt
+    fused = (lat_sum + state.latents * state.obs_count[:, None]) \
+        / jnp.maximum(new_total, 1.0)[:, None]
+    updated = cnt > 0
+    latents = jnp.where(updated[:, None], fused, state.latents)
+    state = state._replace(latents=latents, obs_count=new_total)
+
+    stats = {
+        "n_points": jnp.sum(valid), "n_updated_voxels": jnp.sum(updated),
+        "n_occupied": state.n_occupied, "n_contrib": jnp.sum(cmask),
+    }
+    return state, updated, stats
+
+
+def get_sdf(state: MapState, cfg: MapConfig, dec_params, dec_cfg,
+            xyz: jnp.ndarray):
+    """Decode SDF at world points. (sdf (N,), std (N,), valid (N,)).
+
+    Parity: system/map.py:560-580 — voxel lookup, obs-count gating, decoder
+    on voxel-local coords.  Invalid points still run through the decoder
+    (static shapes); callers mask.  Differentiable w.r.t. ``xyz``.
+    """
+    bound_min = jnp.asarray(cfg.bound_min, jnp.float32)
+    xyz_norm = (xyz - bound_min[None, :]) / cfg.voxel_size
+    grid = jnp.ceil(jax.lax.stop_gradient(xyz_norm)).astype(jnp.int32) - 1
+    inb = vox.in_bounds(grid, cfg.n_xyz)
+    gid = vox.linearize_id(jnp.clip(grid, 0, jnp.asarray(cfg.n_xyz) - 1), cfg.n_xyz)
+    slot = state.indexer[gid]
+    slot_c = jnp.clip(slot, 0, cfg.latent_capacity - 1)
+    valid = inb & (slot >= 0) & (state.obs_count[slot_c] > cfg.ignore_count_th)
+    latent = state.latents[slot_c]                              # (N, L)
+    rel = xyz_norm - grid.astype(jnp.float32) - 0.5
+    sdf, std = apply_decoder(dec_params, dec_cfg,
+                             jnp.concatenate([latent, rel], axis=1))
+    return sdf[:, 0], std[:, 0], valid
+
+
+class SparseVoxelMap:
+    """Host-side wrapper: owns the functional state + model params.
+
+    Mirrors the public surface of the reference ``DenseIndexedMap``
+    (integrate_keyframe / get_sdf / extract_mesh / save / load) without its
+    lock/snapshot machinery — old states are immutable snapshots.
+    """
+
+    def __init__(self, model, args, latent_dim: int, enable_async: bool = False):
+        self.model = model
+        self.cfg = MapConfig.from_args(args, latent_dim)
+        self.args = args
+        self.state = init_state(self.cfg)
+        self.enable_async = enable_async
+        self.updated_slots = np.zeros((self.cfg.latent_capacity,), bool)
+        self.mesher = None  # attached lazily by system.mesher
+        logging.info("Map size Nx=%d Ny=%d Nz=%d (capacity %d voxels)",
+                     *self.cfg.n_xyz, self.cfg.latent_capacity)
+
+    @property
+    def bound_min(self):
+        return np.asarray(self.cfg.bound_min)
+
+    @property
+    def bound_max(self):
+        return self.bound_min + np.asarray(self.cfg.n_xyz) * self.cfg.voxel_size
+
+    def integrate_keyframe(self, points, normals, valid=None,
+                           do_optimize: bool = False, async_optimize: bool = False):
+        points = jnp.asarray(points, jnp.float32)
+        normals = jnp.asarray(normals, jnp.float32)
+        if valid is None:
+            valid = jnp.ones((points.shape[0],), bool)
+        self.state, updated, stats = integrate_keyframe(
+            self.state, self.cfg,
+            self.model.encoder_params, self.model.encoder_bn,
+            self.model.encoder_config,
+            points, normals, valid)
+        if bool(self.state.overflow):
+            raise RuntimeError(
+                "Map capacity overflow: raise mapping.latent_capacity/alloc_capacity")
+        self.updated_slots |= np.asarray(updated)
+        logging.info("integrate: %d pts -> %d voxels updated (%d occupied)",
+                     int(stats["n_points"]), int(stats["n_updated_voxels"]),
+                     int(stats["n_occupied"]))
+        return updated
+
+    def get_sdf(self, xyz):
+        return get_sdf(self.state, self.cfg, self.model.decoder_params,
+                       self.model.decoder_config, jnp.asarray(xyz, jnp.float32))
+
+    # -- persistence (parity: map.py:239-249) -------------------------------
+    def save(self, path):
+        np.savez(Path(path),
+                 **{k: np.asarray(v) for k, v in self.state._asdict().items()})
+
+    def load(self, path):
+        path = Path(path)
+        if not path.exists():
+            path = path.with_suffix(".npz")
+        with np.load(path) as d:
+            self.state = MapState(**{k: jnp.asarray(d[k]) for k in MapState._fields})

@@ -1,0 +1,242 @@
+"""Incremental mesh extraction from the latent voxel map.
+
+Capability parity with ``DenseIndexedMap.extract_mesh`` (system/map.py:582-724;
+SURVEY.md §3.4), TPU-first:
+
+  * per-voxel dense decoder evaluation on the ``(2r)^3`` margin lattice, with
+    the reference's "fast" mode (coarse eval -> trilinear upsample -> re-eval
+    only near-surface cells) realised with a *fixed re-eval budget* +
+    scatter, keeping shapes static under jit;
+  * the sparse marching-cubes op (ops/marching_cubes.py) with cross-voxel
+    std-weighted interpolation and max_std pruning;
+  * an incremental host-side vertex cache keyed by owning voxel: re-meshed
+    voxels' stale triangles are dropped, new ones appended.  Unlike the
+    reference's numba ``_get_valid_idx`` (which only invalidates voxels that
+    *still* produce triangles), we invalidate every voxel in the meshed
+    batch — re-meshed voxels that became empty lose their stale triangles.
+
+Batch sizes are padded to power-of-two buckets so jit recompiles are
+bounded (log2 many shapes).
+"""
+
+from __future__ import annotations
+
+import functools
+import logging
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.decoder import apply_decoder
+from ..ops import voxel as voxops
+from ..ops.marching_cubes import marching_cubes_sparse
+from .map import SparseVoxelMap
+
+
+def _bucket(n: int, lo: int = 64) -> int:
+    b = lo
+    while b < n:
+        b *= 2
+    return b
+
+
+def _sample_offsets(r: int) -> np.ndarray:
+    """Decoder-frame sample coords of the (2r)^3 margin lattice.
+
+    Sample i along an axis sits at ``(i - r//2)/r - 0.5`` in the decoder's
+    voxel-local frame (map.py:641-648 with the 0.5 network offset folded in).
+    """
+    i = np.arange(2 * r)
+    ax = (i - r // 2) / r - 0.5
+    X, Y, Z = np.meshgrid(ax, ax, ax, indexing="ij")
+    return np.stack([X, Y, Z], -1).reshape(-1, 3).astype(np.float32)
+
+
+def _coarse_offsets(r: int) -> np.ndarray:
+    """r^3 lattice spanning the same extent (fast mode's low resolution)."""
+    a = -(r // 2) / r - 0.5
+    b = 1.0 + ((r - 1) // 2) / r - 0.5
+    ax = np.linspace(a, b, r)
+    X, Y, Z = np.meshgrid(ax, ax, ax, indexing="ij")
+    return np.stack([X, Y, Z], -1).reshape(-1, 3).astype(np.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("dec_cfg", "r", "fast", "reeval_budget"))
+def _decode_cubes(dec_params, dec_cfg, latents_b, valid_b, r: int,
+                  fast: bool, reeval_budget: int):
+    """(B, L) voxel latents -> (B, 2r, 2r, 2r) sdf and std sample grids."""
+    B, L = latents_b.shape
+    n_hi = (2 * r) ** 3
+
+    def decode(lat_rep, offs_rep):
+        sdf, std = apply_decoder(dec_params, dec_cfg,
+                                 jnp.concatenate([lat_rep, offs_rep], axis=1))
+        return sdf[:, 0], std[:, 0]
+
+    if not fast:
+        offs = jnp.asarray(_sample_offsets(r))                       # (n_hi,3)
+        lat_rep = jnp.repeat(latents_b, n_hi, axis=0)
+        offs_rep = jnp.tile(offs, (B, 1))
+        sdf, std = decode(lat_rep, offs_rep)
+        shape = (B, 2 * r, 2 * r, 2 * r)
+        return sdf.reshape(shape), std.reshape(shape)
+
+    # Fast mode (map.py:656-683): coarse r^3 eval, trilinear upsample
+    # (align_corners), then re-evaluate only |sdf| < 0.05 cells up to budget.
+    n_lo = r ** 3
+    offs_lo = jnp.asarray(_coarse_offsets(r))
+    sdf_lo, std_lo = decode(jnp.repeat(latents_b, n_lo, axis=0),
+                            jnp.tile(offs_lo, (B, 1)))
+    sdf_lo = sdf_lo.reshape(B, r, r, r)
+    std_lo = std_lo.reshape(B, r, r, r)
+
+    # align_corners trilinear upsample r -> 2r.
+    j = jnp.arange(2 * r) * (r - 1) / (2 * r - 1)
+    Xj, Yj, Zj = jnp.meshgrid(j, j, j, indexing="ij")
+    coords = jnp.stack([Xj, Yj, Zj]).reshape(3, -1)                  # (3, n_hi)
+    interp = jax.vmap(lambda g: jax.scipy.ndimage.map_coordinates(
+        g, list(coords), order=1))
+    sdf_hi = interp(sdf_lo).reshape(B * n_hi)
+    std_hi = interp(std_lo).reshape(B * n_hi)
+
+    near = (jnp.abs(sdf_hi) < 0.05) & jnp.repeat(valid_b, n_hi)
+    flat_idx = jnp.arange(B * n_hi)
+    sel_idx, sel_valid, _ = voxops.compact_by_mask(flat_idx, near, reeval_budget)
+    offs_hi = jnp.asarray(_sample_offsets(r))                        # (n_hi,3)
+    sel_b = sel_idx // n_hi
+    sel_o = sel_idx % n_hi
+    sdf_re, std_re = decode(latents_b[sel_b], offs_hi[sel_o])
+    dest = jnp.where(sel_valid, sel_idx, B * n_hi)
+    sdf_hi = jnp.concatenate([sdf_hi, jnp.zeros((1,))]).at[dest].set(
+        jnp.where(sel_valid, sdf_re, 0.0), mode="drop")[:-1]
+    std_hi = jnp.concatenate([std_hi, jnp.zeros((1,))]).at[dest].set(
+        jnp.where(sel_valid, std_re, 0.0), mode="drop")[:-1]
+    shape = (B, 2 * r, 2 * r, 2 * r)
+    return sdf_hi.reshape(shape), std_hi.reshape(shape)
+
+
+class Mesher:
+    """Owns the incremental triangle cache for one map."""
+
+    def __init__(self, vmap: SparseVoxelMap, max_n_triangles: int = 1 << 17,
+                 reeval_fraction: float = 0.25):
+        self.map = vmap
+        self.budget = int(max_n_triangles)
+        self.reeval_fraction = reeval_fraction
+        self.vertices = np.zeros((0, 3, 3), np.float32)
+        self.vertices_std = np.zeros((0, 3), np.float32)
+        self.vertices_flatten_id = np.zeros((0,), np.int64)
+
+    def extract(self, voxel_resolution: int, max_std: float = 2000.0,
+                fast: bool = True, no_cache: bool = False):
+        """Re-mesh updated voxels; returns (T,3,3) world triangles (full cache)."""
+        vmap, cfg = self.map, self.map.cfg
+        state = vmap.state
+        if no_cache:
+            updated = np.asarray(state.obs_count) > 0
+            self.vertices = np.zeros((0, 3, 3), np.float32)
+            self.vertices_std = np.zeros((0, 3), np.float32)
+            self.vertices_flatten_id = np.zeros((0,), np.int64)
+        else:
+            updated = vmap.updated_slots.copy()
+        vmap.updated_slots[:] = False
+        if not updated.any():
+            return self.current_mesh()
+
+        # Expand updated voxels to neighbours; keep confident ones
+        # (map.py:628-632).
+        positions = np.asarray(state.positions)
+        obs = np.asarray(state.obs_count)
+        upd_ids = positions[updated & (positions >= 0)]
+        exp_ids, exp_valid = voxops.expand_neighbors6(
+            jnp.asarray(upd_ids), jnp.ones((len(upd_ids),), bool), cfg.n_xyz)
+        exp_ids = np.unique(np.asarray(exp_ids)[np.asarray(exp_valid)])
+        slots = np.asarray(state.indexer)[exp_ids]
+        keep = (slots >= 0) & (obs[np.clip(slots, 0, None)] > cfg.ignore_count_th)
+        slots = slots[keep]
+        mesh_ids = exp_ids[keep]
+        B_real = len(slots)
+        if B_real == 0:
+            return self.current_mesh()
+        B = _bucket(B_real)
+        slots_p = np.zeros((B,), np.int32)
+        slots_p[:B_real] = slots
+        ids_p = np.zeros((B,), np.int64)
+        ids_p[:B_real] = mesh_ids
+        valid_b = np.zeros((B,), bool)
+        valid_b[:B_real] = True
+
+        r = int(voxel_resolution)
+        latents_b = state.latents[jnp.asarray(slots_p)]
+        reeval_budget = max(1024, int(B * (2 * r) ** 3 * self.reeval_fraction))
+        cube_sdf, cube_std = _decode_cubes(
+            vmap.model.decoder_params, vmap.model.decoder_config,
+            latents_b, jnp.asarray(valid_b), r, fast, reeval_budget)
+
+        # slot -> batch row mapping for cross-voxel interpolation.
+        batch_map = np.full((cfg.latent_capacity,), -1, np.int32)
+        batch_map[slots_p[:B_real]] = np.arange(B_real, dtype=np.int32)
+
+        res = marching_cubes_sparse(
+            state.indexer, jnp.asarray(batch_map), jnp.asarray(ids_p, jnp.int32),
+            jnp.asarray(valid_b), cube_sdf, cube_std,
+            cfg.n_xyz, cfg.voxel_size,
+            jnp.asarray(cfg.bound_min, jnp.float32),
+            r, cfg.latent_capacity, float(max_std), self.budget)
+
+        n = int(res.n_triangles)
+        if n > self.budget:
+            logging.warning("mesh triangle budget exceeded: %d > %d", n, self.budget)
+            n = self.budget
+        verts = np.asarray(res.vertices[:n])
+        vstd = np.asarray(res.vertex_std[:n])
+        fid = np.asarray(res.flatten_id[:n]).astype(np.int64)
+
+        # Merge: drop every cached triangle owned by a voxel in this batch.
+        stale = np.isin(self.vertices_flatten_id, mesh_ids)
+        self.vertices = np.concatenate([self.vertices[~stale], verts])
+        self.vertices_std = np.concatenate([self.vertices_std[~stale], vstd])
+        self.vertices_flatten_id = np.concatenate(
+            [self.vertices_flatten_id[~stale], fid])
+        return self.current_mesh()
+
+    def current_mesh(self):
+        return self.vertices
+
+    # -- export -------------------------------------------------------------
+    def save_ply(self, path, color_by_std: bool = True, std_range=None):
+        """Write the cached mesh as binary-less ASCII PLY with jet vertex colors
+        of the uncertainty (parity: map.py:522-544 visual)."""
+        verts = self.vertices.reshape(-1, 3)
+        stds = self.vertices_std.reshape(-1)
+        tris = np.arange(len(verts)).reshape(-1, 3)
+        colors = None
+        if color_by_std and len(verts):
+            lo, hi = (stds.min(), stds.max()) if std_range is None else std_range
+            tcol = np.clip((stds - lo) / max(hi - lo, 1e-9), 0, 1)
+            colors = (_jet(tcol) * 255).astype(np.uint8)
+        with open(path, "w") as f:
+            f.write("ply\nformat ascii 1.0\n")
+            f.write(f"element vertex {len(verts)}\n")
+            f.write("property float x\nproperty float y\nproperty float z\n")
+            if colors is not None:
+                f.write("property uchar red\nproperty uchar green\nproperty uchar blue\n")
+            f.write(f"element face {len(tris)}\n")
+            f.write("property list uchar int vertex_indices\nend_header\n")
+            for i, v in enumerate(verts):
+                line = f"{v[0]:.6f} {v[1]:.6f} {v[2]:.6f}"
+                if colors is not None:
+                    c = colors[i]
+                    line += f" {c[0]} {c[1]} {c[2]}"
+                f.write(line + "\n")
+            for t in tris:
+                f.write(f"3 {t[0]} {t[1]} {t[2]}\n")
+
+
+def _jet(t: np.ndarray) -> np.ndarray:
+    """Minimal jet colormap (matplotlib-free), t in [0,1] -> (N,3) rgb."""
+    r = np.clip(1.5 - np.abs(4 * t - 3), 0, 1)
+    g = np.clip(1.5 - np.abs(4 * t - 2), 0, 1)
+    b = np.clip(1.5 - np.abs(4 * t - 1), 0, 1)
+    return np.stack([r, g, b], axis=-1)

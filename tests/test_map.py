@@ -1,0 +1,141 @@
+"""Map integration/query tests with a tiny synthetic model + plane scene."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nerf_fusion_tpu.models.decoder import DecoderConfig, init_decoder
+from nerf_fusion_tpu.models.encoder import EncoderConfig, init_encoder
+from nerf_fusion_tpu.models.io import Networks
+from nerf_fusion_tpu.system.map import MapConfig, SparseVoxelMap, init_state
+from nerf_fusion_tpu.utils.config import dict_to_args
+
+
+def tiny_model(latent=8):
+    m = Networks()
+    m.decoder_config = DecoderConfig(latent, dims=[16, 16], weight_norm=True,
+                                     norm_layers=[0, 1, 2], latent_in=[])
+    m.decoder_params = init_decoder(jax.random.PRNGKey(0), m.decoder_config)
+    m.encoder_config = EncoderConfig(latent, [6, 16], bn=None, mode="cnp")
+    m.encoder_params, m.encoder_bn = init_encoder(jax.random.PRNGKey(1), m.encoder_config)
+    return m
+
+
+def map_args(**over):
+    base = dict(bound_min=[0.0, 0.0, 0.0], bound_max=[1.0, 1.0, 1.0],
+                voxel_size=0.25, prune_min_vox_obs=2, ignore_count_th=4.0,
+                encoder_count_th=600.0, latent_capacity=512, alloc_capacity=128)
+    base.update(over)
+    return dict_to_args(base)
+
+
+@pytest.fixture(scope="module")
+def fused_map():
+    m = tiny_model()
+    vmap = SparseVoxelMap(m, map_args(), latent_dim=8)
+    rng = np.random.RandomState(0)
+    # A dense cluster of points around (0.5, 0.5, 0.5).
+    pts = 0.5 + rng.randn(512, 3).astype(np.float32) * 0.03
+    nrm = np.tile(np.asarray([[0.0, 0.0, 1.0]], np.float32), (512, 1))
+    vmap.integrate_keyframe(pts, nrm)
+    return vmap
+
+
+def test_integration_allocates_and_updates(fused_map):
+    st = fused_map.state
+    assert int(st.n_occupied) > 0
+    assert not bool(st.overflow)
+    # the cluster's voxel got many observations
+    assert float(jnp.max(st.obs_count)) > 100
+    # positions/indexer are mutually consistent
+    occ = np.asarray(st.positions[:int(st.n_occupied)])
+    assert np.all(occ >= 0)
+    back = np.asarray(st.indexer)[occ]
+    assert np.all(back == np.arange(int(st.n_occupied)))
+
+
+def test_updated_mask(fused_map):
+    assert fused_map.updated_slots.sum() > 0
+    # updated voxels are a subset of occupied
+    assert fused_map.updated_slots[int(fused_map.state.n_occupied):].sum() == 0
+
+
+def test_dummy_neighbors_allocated_but_not_updated(fused_map):
+    st = fused_map.state
+    n_occ = int(st.n_occupied)
+    zero_obs = np.asarray(st.obs_count[:n_occ]) == 0
+    assert zero_obs.sum() > 0  # 6-neighbour dummies exist with no observations
+
+
+def test_get_sdf_validity(fused_map):
+    # Query at the cluster: valid. Query far away: invalid.
+    q = np.asarray([[0.5, 0.5, 0.5], [0.05, 0.05, 0.05], [5.0, 5.0, 5.0]], np.float32)
+    sdf, std, valid = fused_map.get_sdf(q)
+    v = np.asarray(valid)
+    assert v[0] and not v[1] and not v[2]
+    assert np.all(np.asarray(std) > 0.05 - 1e-6)
+
+
+def test_prune_sparse_observations():
+    m = tiny_model()
+    vmap = SparseVoxelMap(m, map_args(prune_min_vox_obs=8), latent_dim=8)
+    # two points per voxel only -> pruned, nothing allocated
+    pts = np.asarray([[0.1, 0.1, 0.1], [0.12, 0.1, 0.1]], np.float32)
+    nrm = np.tile(np.asarray([[0.0, 0.0, 1.0]], np.float32), (2, 1))
+    vmap.integrate_keyframe(pts, nrm)
+    assert int(vmap.state.n_occupied) == 0
+
+
+def test_running_mean_is_count_weighted():
+    """Two integrations: latents converge to the pooled mean over both."""
+    m = tiny_model()
+    args = map_args(prune_min_vox_obs=0)
+    vmap = SparseVoxelMap(m, args, latent_dim=8)
+    rng = np.random.RandomState(3)
+    pts1 = 0.5 + rng.randn(64, 3).astype(np.float32) * 0.02
+    pts2 = 0.5 + rng.randn(64, 3).astype(np.float32) * 0.02
+    nrm = np.tile(np.asarray([[0.0, 1.0, 0.0]], np.float32), (64, 1))
+    vmap.integrate_keyframe(pts1, nrm)
+    vmap.integrate_keyframe(pts2, nrm)
+    st2 = vmap.state
+
+    vmap_once = SparseVoxelMap(m, args, latent_dim=8)
+    vmap_once.integrate_keyframe(np.concatenate([pts1, pts2]),
+                                 np.concatenate([nrm, nrm]))
+    st1 = vmap_once.state
+
+    # same voxel set, same obs counts, same (running-mean) latents
+    occ_mask2 = np.asarray(st2.obs_count) > 0
+    occ_mask1 = np.asarray(st1.obs_count) > 0
+    pos2 = set(np.asarray(st2.positions)[occ_mask2].tolist())
+    pos1 = set(np.asarray(st1.positions)[occ_mask1].tolist())
+    assert pos1 == pos2
+    for gid in pos1:
+        s1 = int(np.asarray(st1.indexer)[gid])
+        s2 = int(np.asarray(st2.indexer)[gid])
+        assert np.isclose(float(st1.obs_count[s1]), float(st2.obs_count[s2]))
+        assert np.allclose(np.asarray(st1.latents[s1]), np.asarray(st2.latents[s2]),
+                           atol=1e-4)
+
+
+def test_overflow_detection():
+    m = tiny_model()
+    vmap = SparseVoxelMap(m, map_args(latent_capacity=8, prune_min_vox_obs=0),
+                          latent_dim=8)
+    rng = np.random.RandomState(1)
+    pts = rng.rand(256, 3).astype(np.float32)  # spread over many voxels
+    nrm = np.tile(np.asarray([[1.0, 0.0, 0.0]], np.float32), (256, 1))
+    with pytest.raises(RuntimeError, match="capacity"):
+        vmap.integrate_keyframe(pts, nrm)
+
+
+def test_save_load_roundtrip(tmp_path, fused_map):
+    p = tmp_path / "map.npz"
+    fused_map.save(p)
+    m = tiny_model()
+    vmap2 = SparseVoxelMap(m, map_args(), latent_dim=8)
+    vmap2.load(p)
+    assert np.allclose(np.asarray(vmap2.state.latents),
+                       np.asarray(fused_map.state.latents))
+    assert int(vmap2.state.n_occupied) == int(fused_map.state.n_occupied)

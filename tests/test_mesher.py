@@ -1,0 +1,89 @@
+"""End-to-end map->mesh slice test with the shipped reference weights:
+integrate a synthetic plane point cloud, extract the mesh, check geometry."""
+
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from nerf_fusion_tpu.models.io import load_model
+from nerf_fusion_tpu.system.map import SparseVoxelMap
+from nerf_fusion_tpu.system.mesher import Mesher
+from nerf_fusion_tpu.utils.config import dict_to_args
+
+REF_CKPT = Path("/root/reference/ckpt/default/hyper.json")
+
+
+@pytest.fixture(scope="module")
+def plane_mesher():
+    if not REF_CKPT.exists():
+        pytest.skip("reference checkpoint not present")
+    model, margs = load_model(REF_CKPT, 300)
+    args = dict_to_args(dict(
+        bound_min=[0.0, 0.0, 0.0], bound_max=[1.0, 1.0, 1.0], voxel_size=0.1,
+        prune_min_vox_obs=4, ignore_count_th=16.0, encoder_count_th=600.0,
+        latent_capacity=2048, alloc_capacity=512))
+    vmap = SparseVoxelMap(model, args, latent_dim=margs.code_length)
+    rng = np.random.RandomState(0)
+    n = 6000
+    pts = np.stack([rng.uniform(0.3, 0.7, n), rng.uniform(0.3, 0.7, n),
+                    np.full(n, 0.55) + rng.randn(n) * 0.002], axis=1).astype(np.float32)
+    nrm = np.tile(np.asarray([[0.0, 0.0, 1.0]], np.float32), (n, 1))
+    vmap.integrate_keyframe(pts, nrm)
+    mesher = Mesher(vmap, max_n_triangles=1 << 15)
+    return vmap, mesher
+
+
+def test_mesh_reconstructs_plane(plane_mesher):
+    vmap, mesher = plane_mesher
+    tris = mesher.extract(voxel_resolution=4, max_std=0.3, fast=False)
+    assert len(tris) > 50
+    verts = tris.reshape(-1, 3)
+    # vertices concentrate near the plane z=0.55
+    core = verts[(verts[:, 0] > 0.35) & (verts[:, 0] < 0.65)
+                 & (verts[:, 1] > 0.35) & (verts[:, 1] < 0.65)]
+    assert len(core) > 30
+    err = np.abs(core[:, 2] - 0.55)
+    assert np.median(err) < 0.03, f"median plane error {np.median(err):.4f}"
+
+
+def test_fast_mode_close_to_full(plane_mesher):
+    vmap, mesher = plane_mesher
+    m_full = Mesher(vmap, max_n_triangles=1 << 15)
+    vmap.updated_slots[:] = True
+    full = m_full.extract(4, max_std=0.3, fast=False, no_cache=True).copy()
+    m_fast = Mesher(vmap, max_n_triangles=1 << 15)
+    fast = m_fast.extract(4, max_std=0.3, fast=True, no_cache=True)
+    assert len(fast) > 0
+    # fast mode re-evaluates near-surface cells: triangle counts comparable
+    assert abs(len(fast) - len(full)) / len(full) < 0.2
+    zf = np.median(fast.reshape(-1, 3)[:, 2])
+    zF = np.median(full.reshape(-1, 3)[:, 2])
+    assert abs(zf - zF) < 0.01
+
+
+def test_incremental_remesh_replaces_stale(plane_mesher):
+    vmap, mesher = plane_mesher
+    m = Mesher(vmap, max_n_triangles=1 << 15)
+    vmap.updated_slots[:] = True
+    t1 = m.extract(4, max_std=0.3, fast=False, no_cache=True).copy()
+    # no updates -> cache returned unchanged
+    t2 = m.extract(4, max_std=0.3, fast=False)
+    assert np.allclose(t1, t2)
+    # mark everything updated again -> same geometry, not duplicated
+    vmap.updated_slots[:np.asarray(vmap.state.n_occupied)] = True
+    t3 = m.extract(4, max_std=0.3, fast=False)
+    assert len(t3) == len(t1)
+
+
+def test_ply_export(tmp_path, plane_mesher):
+    vmap, _ = plane_mesher
+    m = Mesher(vmap, max_n_triangles=1 << 15)
+    vmap.updated_slots[:] = True
+    m.extract(4, max_std=0.3, fast=False, no_cache=True)
+    out = tmp_path / "mesh.ply"
+    m.save_ply(out)
+    text = out.read_text().splitlines()
+    assert text[0] == "ply"
+    nv = int([l for l in text if l.startswith("element vertex")][0].split()[-1])
+    assert nv == len(m.vertices) * 3
