@@ -1,0 +1,79 @@
+"""Per-frame RGB-D preprocessing: one jitted program from images to
+oriented, outlier-filtered, voxel-downsampled points + image pyramids.
+
+Replaces the reference's preprocessing chain (system/tracker.py:42-57,
+75-120: CUDA pyramid/gradients, unproject, KD-tree radius outlier, KD-tree
+PCA normals, torch_scatter box filter) with image-space stencil kernels and
+fixed-capacity compaction — a single device program, one H2D copy per
+frame, no KD-trees (SURVEY.md §7.1).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import imgproc
+
+
+class Pyramid(NamedTuple):
+    intensity: tuple   # 3 levels (H, W)
+    depth: tuple       # 3 levels
+    gradient: tuple    # 3 levels (H, W, 2)
+
+
+class Preprocessed(NamedTuple):
+    pyramid: Pyramid
+    points: jnp.ndarray    # (M, 3) camera-frame surface points
+    normals: jnp.ndarray   # (M, 3) camera-frame normals
+    mask: jnp.ndarray      # (M,) bool
+
+
+@functools.partial(jax.jit, static_argnames=("point_budget",))
+def preprocess_frame(rgb, depth, fx, fy, cx, cy,
+                     depth_cut_min, depth_cut_max, point_budget: int):
+    """rgb (H,W,3), depth (H,W) -> Preprocessed.
+
+    Depth subsample is fixed at 0.5 (the shipped tracking config's
+    ``sdf.subsample``); the box filter voxel is 2 cm (tracker.py:119).
+    """
+    intensity = jnp.mean(rgb, axis=-1)
+    depth = jnp.where((depth < depth_cut_min) | (depth > depth_cut_max),
+                      jnp.nan, depth)
+
+    i0 = intensity
+    i1 = imgproc.resize_half_bilinear(i0)
+    i2 = imgproc.resize_half_bilinear(i1)
+    d0 = depth
+    d1 = imgproc.resize_half_nearest(d0)
+    d2 = imgproc.resize_half_nearest(d1)
+    g0 = imgproc.gradient_xy(i0)
+    g1 = imgproc.gradient_xy(i1)
+    g2 = imgproc.gradient_xy(i2)
+    pyr = Pyramid((i0, i1, i2), (d0, d1, d2), (g0, g1, g2))
+
+    # Point-cloud path at 0.5x (tracker.py:91-98).
+    pc_depth = d1
+    pts = imgproc.unproject_depth(pc_depth, fx * 0.5, fy * 0.5, cx * 0.5, cy * 0.5)
+    valid = jnp.isfinite(pc_depth)
+    pts0 = jnp.where(valid[..., None], pts, 0.0)
+
+    # Radius outlier removal: >=16 neighbours within 5 cm (tracker.py:109).
+    ncount = imgproc.radius_neighbor_count(pts0, valid, radius=0.05, radius_px=3)
+    valid = valid & (ncount >= 16)
+
+    # Windowed-PCA normals, camera-facing (tracker.py:112).
+    normals, nvalid = imgproc.estimate_normals_image(
+        pts0, valid, radius=0.1, radius_px=3, min_neighbors=5)
+    valid = valid & nvalid
+
+    # 2 cm box-filter downsample into the fixed budget (tracker.py:119).
+    flat_p = pts0.reshape(-1, 3)
+    flat_n = normals.reshape(-1, 3)
+    flat_v = valid.reshape(-1)
+    bp, bn, bm = imgproc.box_filter_points(flat_p, flat_n, flat_v,
+                                           voxel_size=0.02, capacity=point_budget)
+    return Preprocessed(pyr, bp, bn, bm)

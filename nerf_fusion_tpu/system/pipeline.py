@@ -1,0 +1,88 @@
+"""Online fusion pipeline: glue between sequence, tracker, map and mesher.
+
+Mirrors the reference's per-frame driver loop (main.py:42-102; SURVEY.md
+§3.1): depth cut -> track -> (every ``integrate_interval``) transform the
+processed cloud by the pose, integrate into the map, re-mesh.  Adds the
+per-stage timers and ATE evaluation the reference lacks (SURVEY.md §5.1,
+§5.5).
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+from pathlib import Path
+
+import numpy as np
+
+from ..utils.evaluate import ate_rmse, save_tum_trajectory
+from ..utils.meters import StageTimer
+from .map import SparseVoxelMap
+from .mesher import Mesher
+from .tracker import SDFTracker
+
+
+class FusionPipeline:
+    def __init__(self, model, args, point_budget: int = None):
+        map_args = args.mapping
+        latent_dim = args.model.code_length
+        self.args = args
+        self.map = SparseVoxelMap(model, map_args, latent_dim)
+        self.mesher = Mesher(self.map)
+        budget = point_budget or int(getattr(map_args, "points_capacity", 16384))
+        self.tracker = SDFTracker(self.map, args.tracking, point_budget=budget)
+        self.timer = StageTimer()
+        self.poses = []
+
+    def process_frame(self, frame, frame_id: int, use_gt_pose: bool = False):
+        depth_cut = (self.args.depth_cut_min, self.args.depth_cut_max)
+        set_pose = None
+        if frame_id == 0:
+            set_pose = frame.gt_pose if (use_gt_pose and frame.gt_pose is not None) \
+                else getattr(self.args, "first_iso", None) or frame.gt_pose
+        elif use_gt_pose:
+            set_pose = frame.gt_pose
+
+        with self.timer.scope("track"):
+            pose = self.tracker.track_camera(frame.rgb, frame.depth, frame.calib,
+                                             set_pose=set_pose, depth_cut=depth_cut)
+        self.poses.append(pose)
+
+        if frame_id % self.args.integrate_interval == 0:
+            pts, nrm, mask = self.tracker.last_processed_pc
+            R = pose.q.rotation_matrix
+            world_pts = pts @ R.T + pose.t
+            world_nrm = nrm @ R.T
+            with self.timer.scope("integrate"):
+                self.map.integrate_keyframe(world_pts.astype(np.float32),
+                                            world_nrm.astype(np.float32),
+                                            valid=mask)
+        if frame_id % self.args.meshing_interval == 0:
+            with self.timer.scope("mesh"):
+                self.mesher.extract(self.args.resolution,
+                                    max_std=getattr(self.args, "max_std", 0.15))
+        return pose
+
+    def run(self, sequence, use_gt_pose: bool = False, max_frames: int = None,
+            output_dir=None):
+        n = len(sequence) if max_frames is None else min(max_frames, len(sequence))
+        for i in range(n):
+            frame = next(sequence)
+            logging.info("Frame ID = %d", i)
+            self.process_frame(frame, i, use_gt_pose=use_gt_pose)
+        # final full-quality mesh
+        with self.timer.scope("mesh"):
+            self.mesher.extract(self.args.resolution,
+                                max_std=getattr(self.args, "max_std", 0.15))
+        results = {"n_frames": n, "timing": self.timer.summary()}
+        if sequence.gt_trajectory is not None and not use_gt_pose:
+            results["ate_rmse"] = ate_rmse(self.poses, sequence.gt_trajectory[:n])
+        if output_dir is not None:
+            output_dir = Path(output_dir)
+            output_dir.mkdir(parents=True, exist_ok=True)
+            save_tum_trajectory(output_dir / "trajectory.txt", self.poses)
+            self.mesher.save_ply(output_dir / "mesh.ply")
+            self.map.save(output_dir / "map.npz")
+            with (output_dir / "stats.json").open("w") as f:
+                json.dump(results, f, indent=2)
+        return results
