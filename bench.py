@@ -1,0 +1,69 @@
+#!/usr/bin/env python3
+"""Headline benchmark: online tracking+fusion fps on a 640x480 RGB-D stream.
+
+Runs the full pipeline (tracking with the shipped iter_config, Bayesian
+latent fusion every 20 frames, incremental meshing every 20 frames) on the
+hermetic synthetic sequence at ICL-NUIM geometry (640x480, fx=481.2) and
+reports steady-state frames/sec, excluding compile warm-up.
+
+Baseline: the BASELINE.json target of 10 fps online tracking+fusion on one
+v5e chip (the reference publishes no numbers — BASELINE.md).
+
+Prints ONE json line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import logging
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
+
+N_WARMUP = 25     # covers all compile paths: track groups, integrate, mesh
+N_BENCH = 60
+
+
+def main():
+    logging.basicConfig(level=logging.ERROR)
+    from nerf_fusion_tpu.data.synth import SyntheticSequence
+    from nerf_fusion_tpu.models.io import load_model
+    from nerf_fusion_tpu.system.pipeline import FusionPipeline
+    from nerf_fusion_tpu.utils import config as exp_util
+
+    cfg = Path(__file__).parent / "configs" / "fusion-synth.yaml"
+    args = exp_util.parse_config_yaml(cfg)
+    model, margs = load_model(Path(__file__).parent / args.training_hypers,
+                              args.using_epoch)
+    args.model = margs
+    args.mapping = exp_util.dict_to_args(args.mapping)
+    args.tracking = exp_util.dict_to_args(args.tracking)
+
+    n_frames = N_WARMUP + N_BENCH + 1
+    seq = SyntheticSequence(n_frames=n_frames, width=640, height=480)
+    pipe = FusionPipeline(model, args)
+
+    # Pre-render frames so IO/render cost is outside the timed loop
+    frames = [next(seq) for _ in range(n_frames)]
+
+    for i in range(N_WARMUP):
+        pipe.process_frame(frames[i], i)
+
+    t0 = time.perf_counter()
+    for i in range(N_WARMUP, N_WARMUP + N_BENCH):
+        pipe.process_frame(frames[i], i)
+    dt = time.perf_counter() - t0
+
+    fps = N_BENCH / dt
+    print(json.dumps({
+        "metric": "online_fusion_fps_640x480",
+        "value": round(fps, 3),
+        "unit": "frames/sec",
+        "vs_baseline": round(fps / 10.0, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

