@@ -244,6 +244,11 @@ class SparseVoxelMap:
         self.enable_async = enable_async
         self.updated_slots = np.zeros((self.cfg.latent_capacity,), bool)
         self.mesher = None  # attached lazily by system.mesher
+        self.refiner = None
+        self._refine_rng = jax.random.PRNGKey(
+            int(getattr(args, "seed", 0)) + 1234)
+        self.optim_n_iters = int(getattr(args, "optim_n_iters", 10))
+        self.code_reg_lambda = float(getattr(args, "code_reg_lambda", 1e-2))
         logging.info("Map size Nx=%d Ny=%d Nz=%d (capacity %d voxels)",
                      *self.cfg.n_xyz, self.cfg.latent_capacity)
 
@@ -257,10 +262,21 @@ class SparseVoxelMap:
 
     def integrate_keyframe(self, points, normals, valid=None,
                            do_optimize: bool = False, async_optimize: bool = False):
+        from .refine import AsyncRefiner, merge_refined, refine_latents
+
         points = jnp.asarray(points, jnp.float32)
         normals = jnp.asarray(normals, jnp.float32)
         if valid is None:
             valid = jnp.ones((points.shape[0],), bool)
+
+        # Fold in a finished async refinement (de-integration merge,
+        # reference map.py:361-364).
+        if self.refiner is not None:
+            res = self.refiner.collect()
+            if res is not None:
+                self.state = merge_refined(self.state, res, deintegrate=True)
+                self.updated_slots |= np.asarray(res.refined)
+
         self.state, updated, stats = integrate_keyframe(
             self.state, self.cfg,
             self.model.encoder_params, self.model.encoder_bn,
@@ -273,6 +289,27 @@ class SparseVoxelMap:
         logging.info("integrate: %d pts -> %d voxels updated (%d occupied)",
                      int(stats["n_points"]), int(stats["n_updated_voxels"]),
                      int(stats["n_occupied"]))
+
+        # Optional latent refinement (OptimizeProcess parity; functional here).
+        if do_optimize and self.optim_n_iters > 0:
+            self._refine_rng, sub = jax.random.split(self._refine_rng)
+            if async_optimize:
+                if self.refiner is None:
+                    self.refiner = AsyncRefiner()
+                if not self.refiner.busy():
+                    self.refiner.dispatch(
+                        self.state, self.cfg, self.model.decoder_params,
+                        self.model.decoder_config, points, normals, valid, sub,
+                        n_iters=self.optim_n_iters,
+                        code_reg_lambda=self.code_reg_lambda)
+            else:
+                res = refine_latents(
+                    self.state, self.cfg, self.model.decoder_params,
+                    self.model.decoder_config, points, normals, valid, sub,
+                    n_iters=self.optim_n_iters,
+                    code_reg_lambda=self.code_reg_lambda)
+                self.state = merge_refined(self.state, res, deintegrate=False)
+                self.updated_slots |= np.asarray(res.refined)
         return updated
 
     def get_sdf(self, xyz):

@@ -54,9 +54,11 @@ class FusionPipeline:
             world_pts = pts @ R.T + pose.t
             world_nrm = nrm @ R.T
             with self.timer.scope("integrate"):
-                self.map.integrate_keyframe(world_pts.astype(np.float32),
-                                            world_nrm.astype(np.float32),
-                                            valid=mask)
+                self.map.integrate_keyframe(
+                    world_pts.astype(np.float32), world_nrm.astype(np.float32),
+                    valid=mask,
+                    do_optimize=bool(getattr(self.args, "do_optimize", False)),
+                    async_optimize=bool(getattr(self.args, "run_async", False)))
         if frame_id % self.args.meshing_interval == 0:
             with self.timer.scope("mesh"):
                 self.mesher.extract(self.args.resolution,
