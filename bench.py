@@ -22,8 +22,8 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
 
-N_WARMUP = 25     # covers all compile paths: track groups, integrate, mesh
-N_BENCH = 60
+N_WARMUP = int(os.environ.get("BENCH_WARMUP", 25))   # covers all compile paths
+N_BENCH = int(os.environ.get("BENCH_FRAMES", 60))
 
 
 def main():
@@ -50,10 +50,12 @@ def main():
 
     for i in range(N_WARMUP):
         pipe.process_frame(frames[i], i)
+    pipe.trajectory()  # drain the device queue before timing
 
     t0 = time.perf_counter()
     for i in range(N_WARMUP, N_WARMUP + N_BENCH):
         pipe.process_frame(frames[i], i)
+    pipe.trajectory()  # final sync: all tracked poses materialised
     dt = time.perf_counter() - t0
 
     fps = N_BENCH / dt

@@ -118,8 +118,10 @@ class SyntheticSequence(RGBDSequence):
         rgb, depth = _render(R, t, self.calib.fx, self.calib.fy,
                              self.calib.cx, self.calib.cy, self.H, self.W)
         frame = FrameData()
-        frame.rgb = np.asarray(rgb)
-        frame.depth = np.asarray(depth)
+        # Keep frames on device: the consumer (preprocess_frame) is jitted,
+        # so a host round-trip would only add tunnel H2D/D2H traffic.
+        frame.rgb = rgb
+        frame.depth = depth
         frame.gt_pose = iso if self.gt_trajectory is not None else None
         frame.calib = self.calib
         return frame

@@ -83,9 +83,10 @@ def _apply_linear(p: dict, x: jnp.ndarray) -> jnp.ndarray:
         w = p["g"][:, None] * v / jnp.linalg.norm(v, axis=1, keepdims=True)
     else:
         w = p["w"]
-    # Explicit f32 accumulation (jax's default matmul precision is reduced);
-    # the tracker differentiates through this net, so precision matters.
-    return jnp.matmul(x, w.T, precision=jax.lax.Precision.HIGHEST) + p["b"]
+    # HIGH = bf16x3 passes: f32-equivalent accuracy at half the cost of
+    # HIGHEST (6 passes); jax's DEFAULT (1 bf16 pass) loses ~3 decimal
+    # digits, which measurably hurts the tracker's Jacobians.
+    return jnp.matmul(x, w.T, precision=jax.lax.Precision.HIGH) + p["b"]
 
 
 def apply_decoder(params: dict, config: DecoderConfig, net_input: jnp.ndarray,

@@ -88,10 +88,9 @@ def apply_encoder(params: dict, bn_state: dict, config: EncoderConfig,
     h = x
     for i in range(config.n_layers):
         p = params[f"layer{i}"]
-        # Explicit f32 accumulation: jax's default matmul precision is reduced
-        # (bf16-class) which is fine for training throughput but not for the
-        # online fusion path feeding the tracker.
-        h = jnp.einsum("bnf,gf->bng", h, p["w"], precision=jax.lax.Precision.HIGHEST)
+        # HIGH (bf16x3) keeps f32-equivalent accuracy; DEFAULT (1 bf16 pass)
+        # is too lossy for the fusion path feeding the tracker.
+        h = jnp.einsum("bnf,gf->bng", h, p["w"], precision=jax.lax.Precision.HIGH)
         if "b" in p:
             h = h + p["b"]
         if config.has_bn(i):

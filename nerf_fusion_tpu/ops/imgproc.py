@@ -35,27 +35,34 @@ _HI = jax.lax.Precision.HIGHEST
 
 
 def unproject_depth(depth: jnp.ndarray, fx, fy, cx, cy):
-    """(H, W) metric depth -> (H, W, 3) camera-space points (NaN-preserving)."""
+    """(H, W) metric depth -> (3, H, W) camera-space points (NaN-preserving).
+
+    Plane-major: a trailing channel dim of 3 would pad to 128 lanes on TPU.
+    """
     H, W = depth.shape
     u = jnp.arange(W, dtype=jnp.float32)[None, :]
     v = jnp.arange(H, dtype=jnp.float32)[:, None]
     x = (u - cx) / fx * depth
     y = (v - cy) / fy * depth
-    return jnp.stack([x, y, depth], axis=-1)
+    return jnp.stack([x, y, depth], axis=0)
 
 
 def gradient_xy(intensity: jnp.ndarray):
-    """(H, W) -> (H, W, 2) Sobel gradient / 8; NaN on the 1-px border."""
+    """(H, W) -> (2, H, W) Sobel gradient / 8; NaN on the 1-px border.
+
+    Plane-major layout: image dims stay in the (sublane, lane) tile so the
+    VPU sees full 8x128 tiles (a trailing dim of 2 would pad to 128 lanes).
+    """
     p = jnp.pad(intensity, 1, mode="edge")
     gx = ((p[:-2, 2:] - p[:-2, :-2]) + 2 * (p[1:-1, 2:] - p[1:-1, :-2])
           + (p[2:, 2:] - p[2:, :-2])) / 8.0
     gy = ((p[2:, :-2] - p[:-2, :-2]) + 2 * (p[2:, 1:-1] - p[:-2, 1:-1])
           + (p[2:, 2:] - p[:-2, 2:])) / 8.0
-    g = jnp.stack([gx, gy], axis=-1)
+    g = jnp.stack([gx, gy], axis=0)
     H, W = intensity.shape
     border = (jnp.arange(H)[:, None] % (H - 1) == 0) | \
              (jnp.arange(W)[None, :] % (W - 1) == 0)
-    return jnp.where(border[..., None], jnp.nan, g)
+    return jnp.where(border[None, ...], jnp.nan, g)
 
 
 def resize_half_bilinear(img: jnp.ndarray):
@@ -103,25 +110,72 @@ def _window_stats(pts: jnp.ndarray, valid: jnp.ndarray, radius_px: int,
 
     Neighbours further than ``max_dist`` in 3-D are excluded (this carries
     the metric-radius semantics of the KD-tree versions).
-    Returns (count (H,W), mean (H,W,3), cov (H,W,3,3)).
+    Plane-major throughout: pts is (3, H, W); the symmetric covariance is
+    kept as 6 planes (xx, xy, xz, yy, yz, zz) so every op runs on full
+    (sublane=H, lane=W) VPU tiles.
+    Returns (count (H,W), mean (3,H,W), cov6 (6,H,W)).
     """
-    p0 = jnp.where(valid[..., None], pts, 0.0)
-    cnt = jnp.zeros(pts.shape[:2])
-    s1 = jnp.zeros_like(pts)
-    s2 = jnp.zeros(pts.shape[:2] + (3, 3))
+    p0 = jnp.where(valid[None], pts, 0.0)
+    H, W = valid.shape
+    cnt = jnp.zeros((H, W))
+    s1 = jnp.zeros((3, H, W))
+    s2 = jnp.zeros((6, H, W))
+    pairs = [(0, 0), (0, 1), (0, 2), (1, 1), (1, 2), (2, 2)]
     for dy in range(-radius_px, radius_px + 1):
         for dx in range(-radius_px, radius_px + 1):
-            pn = jnp.roll(p0, (dy, dx), axis=(0, 1))
+            pn = jnp.roll(p0, (dy, dx), axis=(1, 2))
             vn = jnp.roll(valid, (dy, dx), axis=(0, 1))
-            dist2 = jnp.sum((pn - p0) ** 2, axis=-1)
+            dist2 = jnp.sum((pn - p0) ** 2, axis=0)
             w = (vn & valid & (dist2 <= max_dist * max_dist)).astype(pts.dtype)
             cnt += w
-            s1 += w[..., None] * pn
-            s2 += w[..., None, None] * pn[..., :, None] * pn[..., None, :]
-    mean = s1 / jnp.maximum(cnt, 1.0)[..., None]
-    cov = s2 / jnp.maximum(cnt, 1.0)[..., None, None] \
-        - mean[..., :, None] * mean[..., None, :]
-    return cnt, mean, cov
+            s1 += w[None] * pn
+            s2 += w[None] * jnp.stack([pn[a] * pn[b] for a, b in pairs])
+    denom = jnp.maximum(cnt, 1.0)
+    mean = s1 / denom[None]
+    cov6 = s2 / denom[None] - jnp.stack([mean[a] * mean[b] for a, b in pairs])
+    return cnt, mean, cov6
+
+
+def _sym3_smallest_eigvec(cov6: jnp.ndarray) -> jnp.ndarray:
+    """Smallest-eigenvalue eigenvector of symmetric 3x3 fields.
+
+    Trigonometric eigenvalue solve (Smith's method) + cross-product
+    eigenvector extraction — branch-free, elementwise, VPU-friendly.
+    :param cov6: (6, ...) planes (xx, xy, xz, yy, yz, zz).
+    :return: (3, ...) unnormalised eigenvector field.
+    """
+    a00, a01, a02, a11, a12, a22 = (cov6[i] for i in range(6))
+    p1 = a01 * a01 + a02 * a02 + a12 * a12
+    q = (a00 + a11 + a22) / 3.0
+    p2 = (a00 - q) ** 2 + (a11 - q) ** 2 + (a22 - q) ** 2 + 2.0 * p1
+    p = jnp.sqrt(jnp.maximum(p2 / 6.0, 1e-30))
+    b00, b11, b22 = (a00 - q) / p, (a11 - q) / p, (a22 - q) / p
+    b01, b02, b12 = a01 / p, a02 / p, a12 / p
+    detB = (b00 * (b11 * b22 - b12 * b12)
+            - b01 * (b01 * b22 - b12 * b02)
+            + b02 * (b01 * b12 - b11 * b02))
+    r = jnp.clip(detB / 2.0, -1.0, 1.0)
+    phi = jnp.arccos(r) / 3.0
+    lam_min = q + 2.0 * p * jnp.cos(phi + 2.0 * jnp.pi / 3.0)
+    # rows of (A - lam I); the eigenvector is orthogonal to two of them.
+    r0 = jnp.stack([a00 - lam_min, a01, a02], 0)
+    r1 = jnp.stack([a01, a11 - lam_min, a12], 0)
+    r2 = jnp.stack([a02, a12, a22 - lam_min], 0)
+
+    def cross0(a, b):
+        return jnp.stack([a[1] * b[2] - a[2] * b[1],
+                          a[2] * b[0] - a[0] * b[2],
+                          a[0] * b[1] - a[1] * b[0]], 0)
+
+    c01 = cross0(r0, r1)
+    c02 = cross0(r0, r2)
+    c12 = cross0(r1, r2)
+    n01 = jnp.sum(c01 * c01, 0, keepdims=True)
+    n02 = jnp.sum(c02 * c02, 0, keepdims=True)
+    n12 = jnp.sum(c12 * c12, 0, keepdims=True)
+    v = jnp.where(n01 >= jnp.maximum(n02, n12), c01,
+                  jnp.where(n02 >= n12, c02, c12))
+    return v
 
 
 def radius_neighbor_count(pts: jnp.ndarray, valid: jnp.ndarray,
@@ -141,18 +195,20 @@ def estimate_normals_image(pts: jnp.ndarray, valid: jnp.ndarray,
     thin support, camera-facing orientation).
     :return: (normals (H,W,3), normal_valid (H,W)).
     """
-    cnt, mean, cov = _window_stats(pts, valid, radius_px, radius)
-    # smallest eigenvector of symmetric 3x3 via eigh (batched, on device)
-    w, v = jnp.linalg.eigh(cov)
-    n = v[..., :, 0]
+    cnt, mean, cov6 = _window_stats(pts, valid, radius_px, radius)
+    # Closed-form smallest eigenvector (batched jnp.linalg.eigh lowers to a
+    # slow QR loop on TPU for tiny matrices; the trigonometric solve is pure
+    # VPU elementwise math — same closed form the reference uses natively
+    # in imgproc.cu sym3eig).
+    n = _sym3_smallest_eigvec(cov6)
     cam = jnp.asarray(cam_xyz, pts.dtype)
-    to_cam = cam[None, None, :] - pts
-    flip = jnp.sum(n * to_cam, axis=-1, keepdims=True) < 0
+    to_cam = cam[:, None, None] - pts
+    flip = jnp.sum(n * to_cam, axis=0, keepdims=True) < 0
     n = jnp.where(flip, -n, n)
-    norm = jnp.linalg.norm(n, axis=-1, keepdims=True)
-    n = n / jnp.maximum(norm, 1e-12)
-    ok = valid & (cnt >= min_neighbors + 1) & jnp.isfinite(jnp.sum(n, axis=-1))
-    return jnp.where(ok[..., None], n, 0.0), ok
+    norm = jnp.sqrt(jnp.maximum(jnp.sum(n * n, axis=0, keepdims=True), 1e-24))
+    n = n / norm
+    ok = valid & (cnt >= min_neighbors + 1) & jnp.isfinite(jnp.sum(n, axis=0))
+    return jnp.where(ok[None], n, 0.0), ok
 
 
 def box_filter_points(pts: jnp.ndarray, normals: jnp.ndarray, valid: jnp.ndarray,
@@ -195,18 +251,29 @@ def box_filter_points(pts: jnp.ndarray, normals: jnp.ndarray, valid: jnp.ndarray
 
 def rgb_odometry(prev_intensity, prev_depth, cur_intensity, cur_depth,
                  cur_dIdxy, fx, fy, cx, cy, krkinv, kt,
-                 min_grad_scale: float, max_depth_delta: float):
+                 min_grad_scale: float, max_depth_delta: float,
+                 stride: int = 1):
     """Dense photometric residual + 6-DoF Jacobian (photometric.cu:24-77).
 
     The warp takes current pixels into the previous frame with the
     *rounded-nearest* correspondence the reference uses.
     :param krkinv: (3,3) K R K^-1; :param kt: (3,) K t.
-    :return: (f (H,W), J (H,W,6), valid (H,W)).
+    :param stride: evaluate the residual on every stride-th pixel (the
+        random-access warp gather is the TPU-limiting op of the whole
+        tracker; the 6-dof normal equations average ~1e5 residuals, so a
+        stride-2 subsample changes H/g only statistically).  The gather
+        source (previous frame) stays full resolution.
+    :return: (f (h,w), J (6,h,w) plane-major, valid (h,w)) at the strided size.
     """
     H, W = cur_intensity.shape
-    u = jnp.arange(W, dtype=jnp.float32)[None, :].repeat(H, 0)
-    v = jnp.arange(H, dtype=jnp.float32)[:, None].repeat(W, 1)
-    gx, gy = cur_dIdxy[..., 0], cur_dIdxy[..., 1]
+    if stride > 1:
+        cur_intensity = cur_intensity[::stride, ::stride]
+        cur_depth = cur_depth[::stride, ::stride]
+        cur_dIdxy = cur_dIdxy[:, ::stride, ::stride]
+    h, w = cur_intensity.shape
+    u = (jnp.arange(w, dtype=jnp.float32) * stride)[None, :].repeat(h, 0)
+    v = (jnp.arange(h, dtype=jnp.float32) * stride)[:, None].repeat(w, 1)
+    gx, gy = cur_dIdxy[0], cur_dIdxy[1]
     grad2 = gx * gx + gy * gy
     d1 = cur_depth
     ok = jnp.isfinite(grad2) & (grad2 >= min_grad_scale) & jnp.isfinite(d1)
@@ -219,8 +286,15 @@ def rgb_odometry(prev_intensity, prev_depth, cur_intensity, cur_depth,
     inb = (u0 >= 0) & (u0 < W) & (v0 >= 0) & (v0 < H)
     u0c = jnp.clip(u0, 0, W - 1)
     v0c = jnp.clip(v0, 0, H - 1)
-    d0 = prev_depth[v0c, u0c]
-    i0 = prev_intensity[v0c, u0c]
+    # 1-D linearised gather (TPU lowers flat dynamic gathers far better
+    # than 2-D advanced indexing).  Intensity+depth are packed into one
+    # complex64 so the random-access gather — the dominant cost of this
+    # kernel on TPU — runs once instead of twice.
+    lin = (v0c * W + u0c).reshape(-1)
+    packed = jax.lax.complex(prev_intensity, prev_depth).reshape(-1)
+    got = jnp.take(packed, lin, mode="clip").reshape(h, w)
+    i0 = jnp.real(got)
+    d0 = jnp.imag(got)
     ok = ok & inb & jnp.isfinite(d0) & (d0 > 0.0) \
         & (jnp.abs(wz - d0) <= max_depth_delta)
 
@@ -235,6 +309,6 @@ def rgb_odometry(prev_intensity, prev_depth, cur_intensity, cur_depth,
     J = jnp.stack([p0, p1, p2,
                    -Gz * p1 + Gy * p2,
                    Gz * p0 - Gx * p2,
-                   -Gy * p0 + Gx * p1], axis=-1)
-    J = jnp.where(ok[..., None], J, 0.0)
+                   -Gy * p0 + Gx * p1], axis=0)          # (6, H, W)
+    J = jnp.where(ok[None, ...], J, 0.0)
     return f, J, ok

@@ -55,11 +55,11 @@ def preprocess_frame(rgb, depth, fx, fy, cx, cy,
     g2 = imgproc.gradient_xy(i2)
     pyr = Pyramid((i0, i1, i2), (d0, d1, d2), (g0, g1, g2))
 
-    # Point-cloud path at 0.5x (tracker.py:91-98).
+    # Point-cloud path at 0.5x (tracker.py:91-98). Plane-major (3, H, W).
     pc_depth = d1
     pts = imgproc.unproject_depth(pc_depth, fx * 0.5, fy * 0.5, cx * 0.5, cy * 0.5)
     valid = jnp.isfinite(pc_depth)
-    pts0 = jnp.where(valid[..., None], pts, 0.0)
+    pts0 = jnp.where(valid[None], pts, 0.0)
 
     # Radius outlier removal: >=16 neighbours within 5 cm (tracker.py:109).
     ncount = imgproc.radius_neighbor_count(pts0, valid, radius=0.05, radius_px=3)
@@ -71,8 +71,8 @@ def preprocess_frame(rgb, depth, fx, fy, cx, cy,
     valid = valid & nvalid
 
     # 2 cm box-filter downsample into the fixed budget (tracker.py:119).
-    flat_p = pts0.reshape(-1, 3)
-    flat_n = normals.reshape(-1, 3)
+    flat_p = pts0.reshape(3, -1).T
+    flat_n = normals.reshape(3, -1).T
     flat_v = valid.reshape(-1)
     bp, bn, bm = imgproc.box_filter_points(flat_p, flat_n, flat_v,
                                            voxel_size=0.02, capacity=point_budget)

@@ -128,21 +128,33 @@ def _allocate(state: MapState, cfg: MapConfig, gid: jnp.ndarray, valid: jnp.ndar
                           n_occupied=n_occ, overflow=overflow)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "enc_cfg"), donate_argnames=("state",))
+# NOTE: deliberately NOT donating `state`: the async mesher and refiner hold
+# immutable snapshots of earlier states; donation would invalidate their
+# buffers mid-read.  The copies this costs are ~10 MB of HBM traffic per
+# keyframe — noise next to the encoder pass.
+@functools.partial(jax.jit, static_argnames=("cfg", "enc_cfg"))
 def integrate_keyframe(state: MapState, cfg: MapConfig,
                        enc_params, enc_bn, enc_cfg,
                        points: jnp.ndarray, normals: jnp.ndarray,
-                       valid: jnp.ndarray):
+                       valid: jnp.ndarray,
+                       pose_R: jnp.ndarray = None, pose_t: jnp.ndarray = None):
     """Fuse one oriented point cloud into the latent map.
 
-    :param points:  (N, 3) world-space surface points (pose-transformed).
-    :param normals: (N, 3) world-space normals.
+    :param points:  (N, 3) surface points; camera-frame if pose given.
+    :param normals: (N, 3) normals (same frame as points).
     :param valid:   (N,) bool padding mask.
+    :param pose_R/pose_t: optional camera-to-world transform applied on
+        device (keeps the per-frame loop free of host round-trips).
     :return: (new_state, updated_mask (C,) bool, stats dict)
 
     Mirrors system/map.py:341-453 (allocation + encoder fusion path; the
     latent-refinement branch lives in ``refine``).
     """
+    if pose_R is not None:
+        points = jnp.matmul(points, pose_R.T,
+                            precision=jax.lax.Precision.HIGHEST) + pose_t[None, :]
+        normals = jnp.matmul(normals, pose_R.T,
+                             precision=jax.lax.Precision.HIGHEST)
     bound_min = jnp.asarray(cfg.bound_min, jnp.float32)
     xyz_norm, grid = vox.world_to_grid(points, bound_min, cfg.voxel_size)
     valid = valid & vox.in_bounds(grid, cfg.n_xyz)
@@ -243,6 +255,7 @@ class SparseVoxelMap:
         self.state = init_state(self.cfg)
         self.enable_async = enable_async
         self.updated_slots = np.zeros((self.cfg.latent_capacity,), bool)
+        self._updated_dev = None     # device-side accumulator (sync-free path)
         self.mesher = None  # attached lazily by system.mesher
         self.refiner = None
         self._refine_rng = jax.random.PRNGKey(
@@ -260,14 +273,24 @@ class SparseVoxelMap:
     def bound_max(self):
         return self.bound_min + np.asarray(self.cfg.n_xyz) * self.cfg.voxel_size
 
-    def integrate_keyframe(self, points, normals, valid=None,
+    def integrate_keyframe(self, points, normals, valid=None, pose=None,
                            do_optimize: bool = False, async_optimize: bool = False):
+        """Fuse a frame. ``pose``: optional camera-to-world (Isometry or
+        device (R, t)); with it, points/normals may stay camera-frame and
+        device-resident — no host sync happens on this path."""
         from .refine import AsyncRefiner, merge_refined, refine_latents
 
         points = jnp.asarray(points, jnp.float32)
         normals = jnp.asarray(normals, jnp.float32)
         if valid is None:
             valid = jnp.ones((points.shape[0],), bool)
+        pose_R = pose_t = None
+        if pose is not None:
+            if hasattr(pose, "q"):
+                pose_R = jnp.asarray(pose.q.rotation_matrix, jnp.float32)
+                pose_t = jnp.asarray(pose.t, jnp.float32)
+            else:
+                pose_R, pose_t = pose
 
         # Fold in a finished async refinement (de-integration merge,
         # reference map.py:361-364).
@@ -281,14 +304,15 @@ class SparseVoxelMap:
             self.state, self.cfg,
             self.model.encoder_params, self.model.encoder_bn,
             self.model.encoder_config,
-            points, normals, valid)
-        if bool(self.state.overflow):
-            raise RuntimeError(
-                "Map capacity overflow: raise mapping.latent_capacity/alloc_capacity")
-        self.updated_slots |= np.asarray(updated)
-        logging.info("integrate: %d pts -> %d voxels updated (%d occupied)",
-                     int(stats["n_points"]), int(stats["n_updated_voxels"]),
-                     int(stats["n_occupied"]))
+            points, normals, valid, pose_R, pose_t)
+        # Overflow is checked lazily (self.check_overflow()) to keep this
+        # call sync-free; updated_slots accumulates on device.
+        self._updated_dev = (updated if self._updated_dev is None
+                             else self._updated_dev | updated)
+        if logging.getLogger().isEnabledFor(logging.DEBUG):
+            logging.debug("integrate: %d pts -> %d voxels updated (%d occupied)",
+                          int(stats["n_points"]), int(stats["n_updated_voxels"]),
+                          int(stats["n_occupied"]))
 
         # Optional latent refinement (OptimizeProcess parity; functional here).
         if do_optimize and self.optim_n_iters > 0:
@@ -316,6 +340,19 @@ class SparseVoxelMap:
         return get_sdf(self.state, self.cfg, self.model.decoder_params,
                        self.model.decoder_config, jnp.asarray(xyz, jnp.float32))
 
+    def sync_updated(self):
+        """Fold the device-side updated-voxel accumulator into the host set
+        (one D2H sync; called by the mesher, not per frame)."""
+        if self._updated_dev is not None:
+            self.updated_slots |= np.asarray(self._updated_dev)
+            self._updated_dev = None
+        return self.updated_slots
+
+    def check_overflow(self):
+        if bool(np.asarray(self.state.overflow)):
+            raise RuntimeError(
+                "Map capacity overflow: raise mapping.latent_capacity/alloc_capacity")
+
     # -- persistence (parity: map.py:239-249) -------------------------------
     def save(self, path):
         np.savez(Path(path),
@@ -327,3 +364,62 @@ class SparseVoxelMap:
             path = path.with_suffix(".npz")
         with np.load(path) as d:
             self.state = MapState(**{k: jnp.asarray(d[k]) for k in MapState._fields})
+
+    # -- debug visuals (parity: map.py:726-833, headless numpy payloads) -----
+    def get_fast_preview_visuals(self):
+        """Wireframes of all allocated voxel blocks + the map bound."""
+        from ..utils import vis
+
+        occupied = np.asarray(self.state.positions)
+        occupied = occupied[occupied >= 0]
+        xyz = np.asarray(vox.unlinearize_id(jnp.asarray(occupied), self.cfg.n_xyz))
+        start = xyz * self.cfg.voxel_size + self.bound_min
+        boxes = [vis.wireframe_bbox(s, s + self.cfg.voxel_size) for s in start]
+        boxes.append(vis.wireframe_bbox(self.bound_min, self.bound_max, color_id=4))
+        return [vis.merged_linesets(boxes)]
+
+    def get_map_visuals(self, return_blocks=False, return_samples=False,
+                        return_uncertainty=False, return_mesh=False,
+                        sample_range=None, voxel_resolution: int = 8):
+        """Debug visuals: blocks / dense SDF sample clouds / uncertainty / mesh."""
+        from ..utils import vis
+        from .mesher import Mesher, _sample_offsets
+
+        out = {"blocks": [], "samples": [], "uncertainty": [], "mesh": []}
+        if return_blocks:
+            out["blocks"] = self.get_fast_preview_visuals()
+        if return_mesh:
+            mesher = Mesher(self)
+            self.updated_slots[:] = True
+            out["mesh"] = [mesher.extract(voxel_resolution, no_cache=True)]
+        if return_samples or return_uncertainty:
+            st = self.state
+            occ = np.asarray(st.positions) >= 0
+            conf = np.asarray(st.obs_count) > self.cfg.ignore_count_th
+            slots = np.where(occ & conf)[0]
+            if len(slots) == 0:
+                return out
+            r = voxel_resolution // 2
+            offs = _sample_offsets(r)                       # ((2r)^3, 3)
+            lat = np.asarray(st.latents)[slots]
+            B, S = len(slots), len(offs)
+            net_in = np.concatenate(
+                [np.repeat(lat, S, axis=0), np.tile(offs, (B, 1))], axis=1)
+            sdf, std = apply_decoder(self.model.decoder_params,
+                                     self.model.decoder_config,
+                                     jnp.asarray(net_in))
+            sdf = np.asarray(sdf)[:, 0]
+            std = np.asarray(std)[:, 0]
+            base = np.asarray(vox.unlinearize_id(
+                jnp.asarray(np.asarray(st.positions)[slots]), self.cfg.n_xyz))
+            pos = (np.repeat(base, S, axis=0) + np.tile(offs + 0.5, (B, 1))) \
+                * self.cfg.voxel_size + self.bound_min
+            lo, hi = (sample_range if sample_range is not None
+                      else (sdf.min(), sdf.max()))
+            if return_samples:
+                t = np.clip((sdf - lo) / max(hi - lo, 1e-9), 0, 1)
+                out["samples"] = [vis.pointcloud(pos, cfloat=t)]
+            if return_uncertainty:
+                t = np.clip((std - lo) / max(hi - lo, 1e-9), 0, 1)
+                out["uncertainty"] = [vis.pointcloud(pos, cfloat=t)]
+        return out

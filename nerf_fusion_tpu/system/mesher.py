@@ -41,6 +41,13 @@ def _bucket(n: int, lo: int = 64) -> int:
     return b
 
 
+# Fixed per-chunk voxel batch: the mesher processes any voxel count as
+# ceil(B/MESH_CHUNK) invocations of ONE compiled program.  (Growing
+# power-of-two buckets would recompile mid-run — ruinous when compiles are
+# expensive, e.g. over a tunneled chip.)
+MESH_CHUNK = 512
+
+
 def _sample_offsets(r: int) -> np.ndarray:
     """Decoder-frame sample coords of the (2r)^3 margin lattice.
 
@@ -127,11 +134,44 @@ class Mesher:
         self.vertices = np.zeros((0, 3, 3), np.float32)
         self.vertices_std = np.zeros((0, 3), np.float32)
         self.vertices_flatten_id = np.zeros((0,), np.int64)
+        self._lock = __import__("threading").Lock()
+        self._thread = None
 
     def extract(self, voxel_resolution: int, max_std: float = 2000.0,
-                fast: bool = True, no_cache: bool = False):
-        """Re-mesh updated voxels; returns (T,3,3) world triangles (full cache)."""
+                fast: bool = True, no_cache: bool = False,
+                extract_async: bool = False):
+        """Re-mesh updated voxels; returns (T,3,3) world triangles.
+
+        ``extract_async`` reproduces the reference's threaded meshing
+        contract (map.py:582-608): while an extraction is in flight the
+        call returns None; when it finishes, the next call returns the
+        refreshed cache and may start a new extraction.  Snapshot safety is
+        free — the worker reads an immutable MapState, so the reference's
+        backup_vars/lock machinery has no equivalent here.
+        """
+        import threading
+
+        if extract_async:
+            if self._thread is not None:
+                if self._thread.is_alive():
+                    return None
+                self._thread = None
+                return self.current_mesh()
+            self._thread = threading.Thread(
+                target=self._extract_impl,
+                args=(voxel_resolution, max_std, fast, no_cache), daemon=True)
+            self._thread.start()
+            return None
+        if self._thread is not None:       # drain any async job first
+            self._thread.join()
+            self._thread = None
+        return self._extract_impl(voxel_resolution, max_std, fast, no_cache)
+
+    def _extract_impl(self, voxel_resolution: int, max_std: float,
+                      fast: bool, no_cache: bool):
         vmap, cfg = self.map, self.map.cfg
+        vmap.check_overflow()
+        vmap.sync_updated()
         state = vmap.state
         if no_cache:
             updated = np.asarray(state.obs_count) > 0
@@ -145,13 +185,19 @@ class Mesher:
             return self.current_mesh()
 
         # Expand updated voxels to neighbours; keep confident ones
-        # (map.py:628-632).
+        # (map.py:628-632).  Pure numpy: device ops here would trace a new
+        # program per (varying) voxel count on every extraction.
         positions = np.asarray(state.positions)
         obs = np.asarray(state.obs_count)
         upd_ids = positions[updated & (positions >= 0)]
-        exp_ids, exp_valid = voxops.expand_neighbors6(
-            jnp.asarray(upd_ids), jnp.ones((len(upd_ids),), bool), cfg.n_xyz)
-        exp_ids = np.unique(np.asarray(exp_ids)[np.asarray(exp_valid)])
+        nx, ny, nz = cfg.n_xyz
+        xyz = np.stack([upd_ids // (ny * nz), (upd_ids // nz) % ny,
+                        upd_ids % nz], axis=1)
+        offs = np.array([[0, 0, 0], [-1, 0, 0], [1, 0, 0], [0, -1, 0],
+                         [0, 1, 0], [0, 0, -1], [0, 0, 1]])
+        nb = np.clip(xyz[:, None, :] + offs[None], 0,
+                     np.array([nx - 1, ny - 1, nz - 1]))
+        exp_ids = np.unique((nb[..., 0] * ny + nb[..., 1]) * nz + nb[..., 2])
         slots = np.asarray(state.indexer)[exp_ids]
         keep = (slots >= 0) & (obs[np.clip(slots, 0, None)] > cfg.ignore_count_th)
         slots = slots[keep]
@@ -159,50 +205,72 @@ class Mesher:
         B_real = len(slots)
         if B_real == 0:
             return self.current_mesh()
-        B = _bucket(B_real)
-        slots_p = np.zeros((B,), np.int32)
-        slots_p[:B_real] = slots
-        ids_p = np.zeros((B,), np.int64)
-        ids_p[:B_real] = mesh_ids
-        valid_b = np.zeros((B,), bool)
-        valid_b[:B_real] = True
-
         r = int(voxel_resolution)
-        latents_b = state.latents[jnp.asarray(slots_p)]
+        B = MESH_CHUNK
         reeval_budget = max(1024, int(B * (2 * r) ** 3 * self.reeval_fraction))
-        cube_sdf, cube_std = _decode_cubes(
-            vmap.model.decoder_params, vmap.model.decoder_config,
-            latents_b, jnp.asarray(valid_b), r, fast, reeval_budget)
 
-        # slot -> batch row mapping for cross-voxel interpolation.
-        batch_map = np.full((cfg.latent_capacity,), -1, np.int32)
-        batch_map[slots_p[:B_real]] = np.arange(B_real, dtype=np.int32)
+        # Phase 1: enqueue every chunk's device program (no host syncs —
+        # chunks pipeline on device while the host prepares the next one).
+        pending = []
+        for s in range(0, B_real, B):
+            nb = min(B, B_real - s)
+            slots_p = np.zeros((B,), np.int32)
+            slots_p[:nb] = slots[s:s + nb]
+            ids_p = np.zeros((B,), np.int64)
+            ids_p[:nb] = mesh_ids[s:s + nb]
+            valid_b = np.zeros((B,), bool)
+            valid_b[:nb] = True
 
-        res = marching_cubes_sparse(
-            state.indexer, jnp.asarray(batch_map), jnp.asarray(ids_p, jnp.int32),
-            jnp.asarray(valid_b), cube_sdf, cube_std,
-            cfg.n_xyz, cfg.voxel_size,
-            jnp.asarray(cfg.bound_min, jnp.float32),
-            r, cfg.latent_capacity, float(max_std), self.budget)
+            latents_b = state.latents[jnp.asarray(slots_p)]
+            cube_sdf, cube_std = _decode_cubes(
+                vmap.model.decoder_params, vmap.model.decoder_config,
+                latents_b, jnp.asarray(valid_b), r, fast, reeval_budget)
 
-        n = int(res.n_triangles)
-        if n > self.budget:
-            logging.warning("mesh triangle budget exceeded: %d > %d", n, self.budget)
-            n = self.budget
-        verts = np.asarray(res.vertices[:n])
-        vstd = np.asarray(res.vertex_std[:n])
-        fid = np.asarray(res.flatten_id[:n]).astype(np.int64)
+            # slot -> batch row mapping for cross-voxel interpolation.
+            # Voxels outside this chunk fall back to the owning voxel's own
+            # margin samples (the interpolation renormalises), exactly like
+            # voxels absent from the reference's vec_batch_mapping.
+            batch_map = np.full((cfg.latent_capacity,), -1, np.int32)
+            batch_map[slots_p[:nb]] = np.arange(nb, dtype=np.int32)
+
+            pending.append(marching_cubes_sparse(
+                state.indexer, jnp.asarray(batch_map),
+                jnp.asarray(ids_p, jnp.int32),
+                jnp.asarray(valid_b), cube_sdf, cube_std,
+                cfg.n_xyz, cfg.voxel_size,
+                jnp.asarray(cfg.bound_min, jnp.float32),
+                r, cfg.latent_capacity, float(max_std), self.budget))
+
+        # Phase 2: one materialisation pass.  Slice sizes are rounded up to
+        # 4096-triangle buckets so at most budget/4096 distinct slice
+        # programs ever compile (a per-n slice would recompile every call).
+        verts_all, vstd_all, fid_all = [], [], []
+        for res in pending:
+            n = int(res.n_triangles)
+            if n > self.budget:
+                logging.warning("mesh triangle budget exceeded: %d > %d",
+                                n, self.budget)
+                n = self.budget
+            nb = min(self.budget, max(4096, -(-n // 4096) * 4096))
+            verts_all.append(np.asarray(res.vertices[:nb])[:n])
+            vstd_all.append(np.asarray(res.vertex_std[:nb])[:n])
+            fid_all.append(np.asarray(res.flatten_id[:nb])[:n].astype(np.int64))
+        verts = np.concatenate(verts_all)
+        vstd = np.concatenate(vstd_all)
+        fid = np.concatenate(fid_all)
 
         # Merge: drop every cached triangle owned by a voxel in this batch.
-        stale = np.isin(self.vertices_flatten_id, mesh_ids)
-        self.vertices = np.concatenate([self.vertices[~stale], verts])
-        self.vertices_std = np.concatenate([self.vertices_std[~stale], vstd])
-        self.vertices_flatten_id = np.concatenate(
-            [self.vertices_flatten_id[~stale], fid])
+        with self._lock:
+            stale = np.isin(self.vertices_flatten_id, mesh_ids)
+            self.vertices = np.concatenate([self.vertices[~stale], verts])
+            self.vertices_std = np.concatenate([self.vertices_std[~stale], vstd])
+            self.vertices_flatten_id = np.concatenate(
+                [self.vertices_flatten_id[~stale], fid])
         return self.current_mesh()
 
     def current_mesh(self):
-        return self.vertices
+        with self._lock:
+            return self.vertices
 
     # -- export -------------------------------------------------------------
     def save_ply(self, path, color_by_std: bool = True, std_range=None):

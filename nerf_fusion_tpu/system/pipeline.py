@@ -35,6 +35,8 @@ class FusionPipeline:
         self.poses = []
 
     def process_frame(self, frame, frame_id: int, use_gt_pose: bool = False):
+        """One frame through the pipeline. Sync-free: the returned pose is a
+        device (R, t) tuple; use ``trajectory()`` to materialise poses."""
         depth_cut = (self.args.depth_cut_min, self.args.depth_cut_max)
         set_pose = None
         if frame_id == 0:
@@ -50,20 +52,22 @@ class FusionPipeline:
 
         if frame_id % self.args.integrate_interval == 0:
             pts, nrm, mask = self.tracker.last_processed_pc
-            R = pose.q.rotation_matrix
-            world_pts = pts @ R.T + pose.t
-            world_nrm = nrm @ R.T
             with self.timer.scope("integrate"):
                 self.map.integrate_keyframe(
-                    world_pts.astype(np.float32), world_nrm.astype(np.float32),
-                    valid=mask,
+                    pts, nrm, valid=mask, pose=pose,
                     do_optimize=bool(getattr(self.args, "do_optimize", False)),
                     async_optimize=bool(getattr(self.args, "run_async", False)))
         if frame_id % self.args.meshing_interval == 0:
             with self.timer.scope("mesh"):
-                self.mesher.extract(self.args.resolution,
-                                    max_std=getattr(self.args, "max_std", 0.15))
+                self.mesher.extract(
+                    self.args.resolution,
+                    max_std=getattr(self.args, "max_std", 0.15),
+                    extract_async=bool(getattr(self.args, "run_async", False)))
         return pose
+
+    def trajectory(self):
+        """Materialise the pose chain as host Isometries (one sync point)."""
+        return self.tracker.pose_history()
 
     def run(self, sequence, use_gt_pose: bool = False, max_frames: int = None,
             output_dir=None):
@@ -76,13 +80,14 @@ class FusionPipeline:
         with self.timer.scope("mesh"):
             self.mesher.extract(self.args.resolution,
                                 max_std=getattr(self.args, "max_std", 0.15))
+        poses = self.trajectory()
         results = {"n_frames": n, "timing": self.timer.summary()}
         if sequence.gt_trajectory is not None and not use_gt_pose:
-            results["ate_rmse"] = ate_rmse(self.poses, sequence.gt_trajectory[:n])
+            results["ate_rmse"] = ate_rmse(poses, sequence.gt_trajectory[:n])
         if output_dir is not None:
             output_dir = Path(output_dir)
             output_dir.mkdir(parents=True, exist_ok=True)
-            save_tum_trajectory(output_dir / "trajectory.txt", self.poses)
+            save_tum_trajectory(output_dir / "trajectory.txt", poses)
             self.mesher.save_ply(output_dir / "mesh.ply")
             self.map.save(output_dir / "map.npz")
             with (output_dir / "stats.json").open("w") as f:

@@ -45,6 +45,40 @@ from .map import get_sdf
 _HI = jax.lax.Precision.HIGHEST
 
 
+def solve6(H, g):
+    """Unrolled 6x6 Cholesky solve (H PSD).
+
+    ``jnp.linalg.solve`` lowers to a pivoting LU kernel that is grossly
+    oversized for a 6x6 system inside a scan; the unrolled Cholesky is ~60
+    scalar FMAs.
+    """
+    L = [[None] * 6 for _ in range(6)]
+    for i in range(6):
+        for j in range(i + 1):
+            s = H[i, j]
+            for k in range(j):
+                s = s - L[i][k] * L[j][k]
+            if i == j:
+                L[i][j] = jnp.sqrt(jnp.maximum(s, 1e-12))
+            else:
+                L[i][j] = s / L[j][j]
+    # forward substitution L y = g
+    y = [None] * 6
+    for i in range(6):
+        s = g[i]
+        for k in range(i):
+            s = s - L[i][k] * y[k]
+        y[i] = s / L[i][i]
+    # back substitution L^T x = y
+    x = [None] * 6
+    for i in reversed(range(6)):
+        s = y[i]
+        for k in range(i + 1, 6):
+            s = s - L[k][i] * x[k]
+        x[i] = s / L[i][i]
+    return jnp.stack(x)
+
+
 def _robust_weight(x, kernel: str, k: float):
     if kernel is None:
         return jnp.ones_like(x)
@@ -69,6 +103,7 @@ class TrackerConfig(NamedTuple):
     min_grad_scale: float
     max_depth_delta: float
     motion_weight: float
+    rgb_stride: int
 
     @staticmethod
     def from_args(args) -> "TrackerConfig":
@@ -87,6 +122,11 @@ class TrackerConfig(NamedTuple):
             rgb_robust_k=float(rgb.get("robust_k", 0.01)),
             min_grad_scale=float(rgb.get("min_grad_scale", 0.0)),
             max_depth_delta=float(rgb.get("max_depth_delta", 0.2)),
+            # photometric pixel stride: the warp gather is the TPU-limiting
+            # op; default 2 keeps ATE parity while quartering gather volume.
+            # Set rgb: {stride: 1} in the config for the reference's dense
+            # evaluation.
+            rgb_stride=int(rgb.get("stride", 2)),
             motion_weight=float(getattr(args, "motion", {}).get("weight", 1.0)
                                 if hasattr(args, "motion") else 1.0),
         )
@@ -111,15 +151,19 @@ def _sdf_Hg(map_state, map_cfg, dec_params, dec_cfg, tcfg: TrackerConfig,
     # J_rho = dS/dx @ R_last.  (The reference applies R_last^T here,
     # tracker.py:202-203 — invisible on lr-kt only because its canonical
     # first pose is a pi-rotation, which is a symmetric matrix.)
-    Lai = jnp.matmul(dsdf_dpos, last_R, precision=_HI)  # (M,3)
-    Lbi = jnp.cross(p_delta, Lai)
-    J = jnp.concatenate([Lai, Lbi], axis=-1)            # (M, 6)
+    # Plane-major (6, M) J: a (M, 6) layout pads 6 -> 128 lanes on TPU.
+    La = jnp.matmul(last_R.T, dsdf_dpos.T, precision=_HI)   # (3, M)
+    q = p_delta.T                                           # (3, M)
+    Lb = jnp.stack([q[1] * La[2] - q[2] * La[1],
+                    q[2] * La[0] - q[0] * La[2],
+                    q[0] * La[1] - q[1] * La[0]], 0)        # (3, M)
+    J = jnp.concatenate([La, Lb], axis=0)                   # (6, M)
 
     w = _robust_weight(r, tcfg.sdf_robust_kernel, tcfg.sdf_robust_k) * m
     n_valid = jnp.maximum(jnp.sum(m), 1.0)
     scale = 1.0 / n_valid
-    H = jnp.einsum("ni,nj->ij", J * w[:, None], J, precision=_HI) * scale
-    g = jnp.sum(J * (w * r)[:, None], axis=0) * scale
+    H = jnp.einsum("am,bm->ab", J * w[None, :], J, precision=_HI) * scale
+    g = jnp.einsum("am,m->a", J, w * r, precision=_HI) * scale
     energy = jnp.sum(r * (w * r)) * scale
     return H, g, energy
 
@@ -135,18 +179,18 @@ def _rgb_Hg(tcfg: TrackerConfig, level_data, fx, fy, cx, cy,
     kt = K @ dt
     f, J, ok = imgproc.rgb_odometry(prev_i, prev_d, cur_i, cur_d, cur_g,
                                     fx, fy, cx, cy, krkinv, kt,
-                                    tcfg.min_grad_scale, tcfg.max_depth_delta)
+                                    tcfg.min_grad_scale, tcfg.max_depth_delta,
+                                    stride=tcfg.rgb_stride)
     J = -J  # kernel computes d/d(-xi) (reference tracker.py:162)
     m = ok.astype(f.dtype)
     w = _robust_weight(f, tcfg.rgb_robust_kernel, tcfg.rgb_robust_k) * m
     n_valid = jnp.maximum(jnp.sum(m), 1.0)
     scale = rgb_weight / n_valid
-    Jf = J.reshape(-1, 6)
-    ff = f.reshape(-1)
-    wf = w.reshape(-1)
-    H = jnp.einsum("ni,nj->ij", Jf * wf[:, None], Jf, precision=_HI) * scale
-    g = jnp.sum(Jf * (wf * ff)[:, None], axis=0) * scale
-    energy = jnp.sum(ff * (wf * ff)) * scale
+    # J is (6, H, W) plane-major: reduce with image dims in the minor tile
+    # (a (H*W, 6) layout would pad 6 -> 128 lanes, ~20x waste).
+    H = jnp.einsum("ahw,bhw->ab", J * w[None], J, precision=_HI) * scale
+    g = jnp.einsum("ahw,hw->a", J, w * f, precision=_HI) * scale
+    energy = jnp.sum(f * (w * f)) * scale
     return H, g, energy
 
 
@@ -194,29 +238,36 @@ def track_gauss_newton(map_state, map_cfg, dec_params, dec_cfg, tcfg: TrackerCon
                     H, g, energy = H + Hm, g + gm, energy + em
             return H, g, energy
 
-        def body(carry, i):
-            dR, dt, bR, bt, last_energy, done, used = carry
+        # True early exit via while_loop: the reference breaks out of a
+        # group as soon as the energy increases (tracker.py:269-274), which
+        # usually happens after a handful of iterations — a fixed-length
+        # scan would pay for all n iterations every frame.
+        def cond(st):
+            i, _, _, _, _, _, done, _ = st
+            return (~done) & (i <= n_iters)
+
+        def body(st):
+            i, dR, dt, bR, bt, last_energy, done, used = st
             H, g, energy = build_Hg(dR, dt)
             worse = energy > last_energy
-            # revert & stop on energy increase (tracker.py:269-274)
-            newly_done = done | worse
-            bR2 = jnp.where(worse | done, bR, dR)
-            bt2 = jnp.where(worse | done, bt, dt)
-            best_energy = jnp.where(worse | done, last_energy, energy)
-            # solve + update unless finished or on the trailing eval pass
+            bR2 = jnp.where(worse, bR, dR)
+            bt2 = jnp.where(worse, bt, dt)
+            best_energy = jnp.where(worse, last_energy, energy)
+            # (jnp.linalg.solve beats an unrolled scalar Cholesky here:
+            # TPU scalar-unit chains are slower than the batched LU kernel)
             xi = jnp.linalg.solve(H + 1e-9 * jnp.eye(6), -g)
             eR, et = sj.se3_exp(xi)
             nR, nt = sj.compose(eR, et, dR, dt)
-            do_update = (~newly_done) & (i < n_iters)
+            do_update = (~worse) & (i < n_iters)
             dR2 = jnp.where(do_update, nR, bR2)
             dt2 = jnp.where(do_update, nt, bt2)
-            used2 = jnp.where(newly_done, used, i)
-            return (dR2, dt2, bR2, bt2, best_energy, newly_done, used2), energy
+            used2 = jnp.where(worse, used, i)
+            return (i + 1, dR2, dt2, bR2, bt2, best_energy, worse, used2)
 
         dR, dt = carry_in
-        init = (dR, dt, dR, dt, jnp.inf, jnp.asarray(False), jnp.asarray(0))
-        (dR, dt, bR, bt, _, done, used), _ = jax.lax.scan(
-            body, init, jnp.arange(n_iters + 1))
+        init = (jnp.asarray(0), dR, dt, dR, dt, jnp.asarray(jnp.inf),
+                jnp.asarray(False), jnp.asarray(0))
+        _, _, _, bR, bt, _, _, used = jax.lax.while_loop(cond, body, init)
         return (bR, bt), used
 
     dR, dt = init_dR, init_dt
@@ -227,60 +278,102 @@ def track_gauss_newton(map_state, map_cfg, dec_params, dec_cfg, tcfg: TrackerCon
     return dR, dt, jnp.stack(iters_used)
 
 
-class SDFTracker:
-    """Host-side tracker state machine (API parity: system/tracker.py:27)."""
+@functools.partial(jax.jit, static_argnames=("map_cfg", "dec_cfg", "tcfg"))
+def track_and_update(map_state, map_cfg, dec_params, dec_cfg, tcfg: TrackerConfig,
+                     prev_pyr, cur_pyr, pts, mask, last_R, last_t,
+                     fx, fy, cx, cy, rgb_weight, n_unstable):
+    """GN + pose composition + divergence state machine, all on device.
 
-    def __init__(self, vmap, args, point_budget: int = 16384):
+    The divergence safeguard (tracker.py:281-286: 3 unstable frames =>
+    rgb weight >= 500) is folded into the device state so the per-frame
+    loop needs ZERO host syncs — essential both on a tunneled chip
+    (~30 ms per host roundtrip here) and for production latency.
+    Returns (pose_R, pose_t, rgb_weight', n_unstable', iters).
+    """
+    dR, dt, iters = track_gauss_newton(
+        map_state, map_cfg, dec_params, dec_cfg, tcfg, prev_pyr, cur_pyr,
+        pts, mask, last_R, last_t, jnp.eye(3), jnp.zeros(3),
+        fx, fy, cx, cy, rgb_weight)
+    pose_R, pose_t = sj.compose(last_R, last_t, dR, dt)
+    unstable = iters[-1] >= 10
+    n_unstable = n_unstable + unstable.astype(n_unstable.dtype)
+    rgb_weight = jnp.where(n_unstable >= 3,
+                           jnp.maximum(rgb_weight, 500.0), rgb_weight)
+    return pose_R, pose_t, rgb_weight, n_unstable, iters
+
+
+class SDFTracker:
+    """Tracker front. API parity with the reference SDFTracker
+    (system/tracker.py:27) but device-resident: the pose chain, processed
+    point cloud, and the rgb-weight/instability state stay on device as
+    jax arrays; the host only enqueues one preprocess + one GN program per
+    frame and never blocks on results.
+    """
+
+    def __init__(self, vmap, args, point_budget: int = 16384,
+                 gn_point_budget: int = None):
         self.map = vmap
         self.args = args
         if isinstance(args, dict):
             args = dict_to_args(args)
         self.tcfg = TrackerConfig.from_args(args)
         rgb = args.rgb if isinstance(args.rgb, dict) else vars(args.rgb)
-        self.rgb_weight = float(rgb["weight"])
+        self.rgb_weight = jnp.asarray(float(rgb["weight"]), jnp.float32)
+        self.n_unstable = jnp.asarray(0, jnp.int32)
         self.point_budget = point_budget
-        self.all_pd_pose = []
+        # GN uses a (hash-shuffled, hence unbiased) prefix of the box-filtered
+        # cloud: the 6-dof normal equations saturate statistically long
+        # before the full cloud size.
+        self.gn_point_budget = min(gn_point_budget or 8192, point_budget)
+        self.all_pd_pose = []          # device (R, t) tuples
         self.prev_pyr = None
-        self.last_processed_pc = None
-        self.n_unstable = 0
+        self.last_processed_pc = None  # device (points, normals, mask)
+        self.last_iters = None
 
     def preprocess(self, rgb, depth, calib, depth_cut=(0.5, 5.0)):
-        pre = preprocess_frame(jnp.asarray(rgb, jnp.float32),
-                               jnp.asarray(depth, jnp.float32),
-                               calib.fx, calib.fy, calib.cx, calib.cy,
-                               depth_cut[0], depth_cut[1], self.point_budget)
-        return pre
+        return preprocess_frame(jnp.asarray(rgb, jnp.float32),
+                                jnp.asarray(depth, jnp.float32),
+                                calib.fx, calib.fy, calib.cx, calib.cy,
+                                depth_cut[0], depth_cut[1], self.point_budget)
 
     def track_camera(self, rgb, depth, calib, set_pose: Isometry = None,
                      depth_cut=(0.5, 5.0)):
+        """Returns the device pose (R (3,3), t (3,)). Use ``pose_history()``
+        for host Isometries."""
         pre = self.preprocess(rgb, depth, calib, depth_cut)
-        self.last_processed_pc = (np.asarray(pre.points), np.asarray(pre.normals),
-                                  np.asarray(pre.mask))
+        self.last_processed_pc = (pre.points, pre.normals, pre.mask)
 
         if set_pose is not None:
-            final = set_pose
+            pose = (jnp.asarray(set_pose.q.rotation_matrix, jnp.float32),
+                    jnp.asarray(set_pose.t, jnp.float32))
         else:
             assert self.all_pd_pose, "first frame needs set_pose (first_iso)"
-            last = self.all_pd_pose[-1]
-            last_R = jnp.asarray(last.q.rotation_matrix, jnp.float32)
-            last_t = jnp.asarray(last.t, jnp.float32)
-            dR, dt, iters = track_gauss_newton(
-                self.map.state, self.map.cfg,
-                self.map.model.decoder_params, self.map.model.decoder_config,
-                self.tcfg, self.prev_pyr, pre.pyramid,
-                pre.points, pre.mask, last_R, last_t,
-                jnp.eye(3), jnp.zeros(3),
-                calib.fx, calib.fy, calib.cx, calib.cy,
-                jnp.asarray(self.rgb_weight, jnp.float32))
-            delta = Isometry.from_matrix(np.asarray(dR, np.float64),
-                                         np.asarray(dt, np.float64), ortho=True)
-            final = last.dot(delta)
-            # divergence safeguard (tracker.py:281-286)
-            if int(np.asarray(iters)[-1]) >= 10:
-                self.n_unstable += 1
-                if self.n_unstable >= 3:
-                    self.rgb_weight = max(self.rgb_weight, 500.0)
+            last_R, last_t = self.all_pd_pose[-1]
+            k = self.gn_point_budget
+            pose_R, pose_t, self.rgb_weight, self.n_unstable, self.last_iters = \
+                track_and_update(
+                    self.map.state, self.map.cfg,
+                    self.map.model.decoder_params, self.map.model.decoder_config,
+                    self.tcfg, self.prev_pyr, pre.pyramid,
+                    pre.points[:k], pre.mask[:k], last_R, last_t,
+                    calib.fx, calib.fy, calib.cx, calib.cy,
+                    self.rgb_weight, self.n_unstable)
+            pose = (pose_R, pose_t)
 
         self.prev_pyr = pre.pyramid
-        self.all_pd_pose.append(final)
-        return final
+        self.all_pd_pose.append(pose)
+        return pose
+
+    def pose_history(self):
+        """Materialise the device pose chain as host Isometries.
+
+        Batched into two D2H transfers (per-pose transfers would cost one
+        tunnel roundtrip each)."""
+        if not self.all_pd_pose:
+            return []
+        # device_get fetches the whole pytree in one batched transfer and,
+        # unlike jnp.stack, never compiles a length-dependent program.
+        fetched = jax.device_get(self.all_pd_pose)
+        return [Isometry.from_matrix(np.asarray(R, np.float64),
+                                     np.asarray(t, np.float64), ortho=True)
+                for R, t in fetched]

@@ -56,6 +56,7 @@ def test_integration_allocates_and_updates(fused_map):
 
 
 def test_updated_mask(fused_map):
+    fused_map.sync_updated()
     assert fused_map.updated_slots.sum() > 0
     # updated voxels are a subset of occupied
     assert fused_map.updated_slots[int(fused_map.state.n_occupied):].sum() == 0
@@ -126,8 +127,9 @@ def test_overflow_detection():
     rng = np.random.RandomState(1)
     pts = rng.rand(256, 3).astype(np.float32)  # spread over many voxels
     nrm = np.tile(np.asarray([[1.0, 0.0, 0.0]], np.float32), (256, 1))
+    vmap.integrate_keyframe(pts, nrm)
     with pytest.raises(RuntimeError, match="capacity"):
-        vmap.integrate_keyframe(pts, nrm)
+        vmap.check_overflow()  # overflow is surfaced lazily (sync-free loop)
 
 
 def test_save_load_roundtrip(tmp_path, fused_map):

@@ -15,9 +15,7 @@ CFG = Path(__file__).resolve().parent.parent / "configs" / "fusion-synth.yaml"
 
 def _pipeline(width=160, height=120, n_frames=8):
     args = parse_config_yaml(CFG)
-    model, margs = load_model(Path(args.training_hypers).is_absolute()
-                              and args.training_hypers
-                              or CFG.parent.parent / args.training_hypers, 300)
+    model, margs = load_model(CFG.parent.parent / args.training_hypers, 300)
     args.model = margs
     args.mapping = dict_to_args(args.mapping)
     # shrink capacities for CPU test speed
@@ -37,14 +35,14 @@ def _pipeline(width=160, height=120, n_frames=8):
 @pytest.mark.slow
 def test_tracking_follows_gt():
     args, seq, pipe = _pipeline()
-    # Frame 0: set GT pose and integrate.
-    f0 = next(seq)
-    pipe.process_frame(f0, 0)
-    errs_t, errs_r = [], []
-    for i in range(1, len(seq)):
+    gts = []
+    for i in range(len(seq)):
         fr = next(seq)
-        pose = pipe.process_frame(fr, i)
-        gt = fr.gt_pose
+        pipe.process_frame(fr, i)
+        gts.append(fr.gt_pose)
+    traj = pipe.trajectory()
+    errs_t, errs_r = [], []
+    for pose, gt in zip(traj[1:], gts[1:]):
         errs_t.append(np.linalg.norm(pose.t - gt.t))
         dR = pose.q.rotation_matrix.T @ gt.q.rotation_matrix
         errs_r.append(np.degrees(np.arccos(np.clip((np.trace(dR) - 1) / 2, -1, 1))))
@@ -58,13 +56,12 @@ def test_tracking_follows_gt():
 def test_tracking_beats_constant_pose():
     """Tracked trajectory must be better than assuming no motion."""
     args, seq, pipe = _pipeline(n_frames=6)
-    f0 = next(seq)
-    pipe.process_frame(f0, 0)
-    drift_static = []
-    err_tracked = []
-    for i in range(1, len(seq)):
+    gts = []
+    for i in range(len(seq)):
         fr = next(seq)
-        pose = pipe.process_frame(fr, i)
-        err_tracked.append(np.linalg.norm(pose.t - fr.gt_pose.t))
-        drift_static.append(np.linalg.norm(f0.gt_pose.t - fr.gt_pose.t))
+        pipe.process_frame(fr, i)
+        gts.append(fr.gt_pose)
+    traj = pipe.trajectory()
+    err_tracked = [np.linalg.norm(p.t - g.t) for p, g in zip(traj[1:], gts[1:])]
+    drift_static = [np.linalg.norm(gts[0].t - g.t) for g in gts[1:]]
     assert np.mean(err_tracked) < 0.5 * np.mean(drift_static)
