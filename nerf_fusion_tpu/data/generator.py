@@ -85,7 +85,10 @@ def generate_samples(idx: int, args, provider, output_base: Path, source_list):
         var=args.sampler_var,
         perturb_ratio=0.8,
         expand=args.voxel_size * 2.5,
-        rng=rng)
+        rng=rng,
+        method=int(getattr(args, "sample_method", 2)),
+        cameras=item.get("cameras"),
+        ortho_half=item.get("ortho_half"))
     data_arr = data_arr * mult
     surface_arr[:, :3] *= mult
     nan_rows = np.any(np.isnan(surface_arr), axis=1)

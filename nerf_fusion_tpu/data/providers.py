@@ -53,8 +53,25 @@ class SimpleShapeGenerator:
         tf = Isometry.random()
         tf.t = rng.uniform(-0.5, 0.5, size=3)
         V = M.transform_mesh(V, tf.matrix)
+        cams, ortho = self._virtual_cameras(V)
         return {"vertices": V, "faces": F, "name": self.get_source(idx),
-                "sampler_mult": 1.0}
+                "sampler_mult": 1.0, "cameras": cams, "ortho_half": ortho}
+
+    @staticmethod
+    def _virtual_cameras(V, n: int = 100):
+        """Fibonacci-sphere look-at cameras around the mesh
+        (simple_shape.py:31-41,96-107 semantics)."""
+        phi = np.pi * (3.0 - np.sqrt(5.0))
+        pts = []
+        for i in range(n):
+            y = 1 - (i / float(n - 1)) * 2
+            r = np.sqrt(max(1 - y * y, 0.0))
+            pts.append((np.cos(phi * i) * r, y, np.sin(phi * i) * r))
+        pts = np.asarray(pts)
+        center = (V.max(0) + V.min(0)) / 2
+        scale = max(float(np.linalg.norm(V.max(0) - center)) * 1.1, 0.8)
+        cams = [Isometry.look_at(p * scale * 2.2 + center, center) for p in pts]
+        return cams, scale * 1.6
 
     def clean(self, idx):
         pass
