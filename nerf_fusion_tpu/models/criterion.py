@@ -9,6 +9,7 @@ from __future__ import annotations
 
 import math
 
+import jax
 import jax.numpy as jnp
 
 
@@ -39,7 +40,37 @@ def reg_loss(args, info, latent_vecs, **kwargs):
     return {"reg": warm * l2 / info["num_sdf_samples"] * args.code_reg_lambda}
 
 
+def siren_loss(args, info, pd_sdf, coords, gt_sdf, **kwargs):
+    """SIREN-style boundary/eikonal loss (network/criterion.py:46-80).
+
+    ``gt_sdf`` carries normals; rows whose normal is ~0 are off-surface.
+    Requires ``pd_sdf`` to be differentiable w.r.t. ``coords`` — pass a
+    closure via kwargs['sdf_fn'] (JAX needs the function, not a graph).
+    """
+    sdf_fn = kwargs["sdf_fn"]          # coords (N,3) -> sdf (N,1)
+    grad = jax.vmap(jax.grad(lambda c: sdf_fn(c[None])[0, 0]))(coords)  # (N,3)
+    gt_normals = gt_sdf
+    on_surface = jnp.sum(jnp.abs(gt_sdf), axis=-1, keepdims=True) > 1e-6
+
+    zero = jnp.zeros_like(pd_sdf)
+    sdf_in = jnp.where(on_surface, pd_sdf, zero)
+    sdf_out = jnp.where(on_surface, zero, jnp.exp(-1e2 * jnp.abs(pd_sdf)))
+    cos = jnp.sum(grad * gt_normals, axis=-1, keepdims=True) / (
+        jnp.linalg.norm(grad, axis=-1, keepdims=True)
+        * jnp.maximum(jnp.linalg.norm(gt_normals, axis=-1, keepdims=True), 1e-9)
+        + 1e-9)
+    normal = jnp.where(on_surface, 1.0 - cos, zero)
+    eikonal = jnp.abs(jnp.linalg.norm(grad, axis=-1) - 1.0)
+    n = info["num_sdf_samples"]
+    return {
+        "sdf_in": jnp.sum(jnp.abs(sdf_in)) / n * args.siren_sdf_in,
+        "sdf_out": jnp.sum(sdf_out) / n * args.siren_sdf_out,
+        "normal": jnp.sum(normal) / n * args.siren_normal,
+        "eikonal": jnp.sum(eikonal) / n * args.siren_eikonal,
+    }
+
+
 def get_losses(names):
     registry = {"l1_loss": l1_loss, "neg_log_likelihood": neg_log_likelihood,
-                "reg_loss": reg_loss}
+                "reg_loss": reg_loss, "siren_loss": siren_loss}
     return [registry[n] for n in names]

@@ -306,6 +306,46 @@ class Isometry:
         return Isometry(q=Quaternion.slerp(source.q, target.q, alpha),
                         t=source.t * (1 - alpha) + target.t * alpha)
 
+    def adjoint_matrix(self) -> np.ndarray:
+        """6x6 adjoint mapping twists between frames (motion_util.py:300-307)."""
+        R = self.q.rotation_matrix
+        adj = np.zeros((6, 6))
+        adj[0:3, 0:3] = R
+        adj[3:6, 3:6] = R
+        adj[0:3, 3:6] = so3_wedge(self.t) @ R
+        return adj
+
+    @property
+    def continuous_repr(self) -> np.ndarray:
+        """9-dof (6-dof rotation + translation) continuous representation."""
+        rot = self.q.rotation_matrix[:, 0:2].T.flatten()
+        return np.concatenate([rot, self.t])
+
+    @staticmethod
+    def from_continuous_repr(rep, gs: bool = True) -> "Isometry":
+        rep = np.asarray(rep, dtype=np.float64)
+        assert rep.shape == (9,)
+        col1, col2 = rep[0:3].copy(), rep[3:6].copy()
+        if gs:  # Gram-Schmidt
+            col1 /= np.linalg.norm(col1)
+            col2 = col2 - np.dot(col1, col2) * col1
+            col2 /= np.linalg.norm(col2)
+        col3 = np.cross(col1, col2)
+        return Isometry(q=Quaternion(matrix=np.column_stack([col1, col2, col3])),
+                        t=rep[6:9])
+
+    @property
+    def full_repr(self) -> np.ndarray:
+        return np.concatenate([self.q.rotation_matrix.T.flatten(), self.t])
+
+    @staticmethod
+    def from_full_repr(rep, ortho: bool = False) -> "Isometry":
+        rep = np.asarray(rep, dtype=np.float64)
+        rot = rep[0:9].reshape(3, 3).T
+        if ortho:
+            rot = project_orthogonal(rot)
+        return Isometry(q=Quaternion(matrix=rot), t=rep[9:12])
+
     def __matmul__(self, other):
         if isinstance(other, Isometry):
             return self.dot(other)
