@@ -211,6 +211,41 @@ def estimate_normals_image(pts: jnp.ndarray, valid: jnp.ndarray,
     return jnp.where(ok[None], n, 0.0), ok
 
 
+def sensor_noise_weight(depth: jnp.ndarray, normals: jnp.ndarray,
+                        valid: jnp.ndarray):
+    """Per-pixel observation confidence from the RGB-D sensor noise model.
+
+    Parity with the weight channel of compute_normal_weight
+    (imgproc.cu:98-160): axial noise grows quadratically with depth and
+    with grazing incidence (Nguyen et al. Kinect model):
+    ``sigma_z = 0.0012 + 0.0019 (z - 0.4)^2 / cos(theta)``; the weight is
+    the reference sigma at z=1m head-on divided by sigma_z.
+    :param normals: (3, H, W) camera-frame normals (z component used).
+    :return: (H, W) weight in (0, 1].
+    """
+    cos_t = jnp.clip(jnp.abs(normals[2]), 0.05, 1.0)
+    sigma = 0.0012 + 0.0019 * (depth - 0.4) ** 2 / cos_t
+    sigma_ref = 0.0012 + 0.0019 * 0.36
+    w = jnp.clip(sigma_ref / jnp.maximum(sigma, 1e-6), 0.0, 1.0)
+    return jnp.where(valid, w, 0.0)
+
+
+def radius_outlier_mask_exact(points: "np.ndarray", nb_points: int = 16,
+                              radius: float = 0.05):
+    """Exact KD-tree radius-outlier mask (host-side oracle).
+
+    Parity check for the windowed approximation (``radius_neighbor_count``)
+    against the reference's exact GPU KD-tree semantics
+    (pcproc.cu remove_radius_outlier): keep a point iff it has at least
+    ``nb_points`` neighbours within ``radius``.
+    """
+    from scipy.spatial import cKDTree
+
+    tree = cKDTree(points)
+    counts = tree.query_ball_point(points, radius, return_length=True)
+    return np.asarray(counts) >= nb_points + 1  # ball includes self
+
+
 def box_filter_points(pts: jnp.ndarray, normals: jnp.ndarray, valid: jnp.ndarray,
                       voxel_size: float, capacity: int,
                       extent: float = 8.0):

@@ -302,6 +302,68 @@ def track_and_update(map_state, map_cfg, dec_params, dec_cfg, tcfg: TrackerConfi
     return pose_R, pose_t, rgb_weight, n_unstable, iters
 
 
+@functools.partial(jax.jit, static_argnames=("map_cfg", "dec_cfg", "n_iters"))
+def track_points_lm(map_state, map_cfg, dec_params, dec_cfg,
+                    pts, mask, init_R, init_t,
+                    n_iters: int = 20, damping_init: float = 1e-4,
+                    lm_eps4: float = 0.0, lm_ldown: float = 9.0,
+                    lm_lup: float = 11.0, robust_k: float = 5.0):
+    """Levenberg-Marquardt SDF-only point tracker — working version of the
+    reference's dead ``track_camera_points_lm`` (system/tracker.py:290-331,
+    which references an undefined error function).
+
+    Left world-frame perturbation: pose <- exp(xi) o pose with
+    J = [dS/dx, x ^ dS/dx]; damping on diag(H) with gain-ratio
+    accept/reject (classic LM schedule).
+    :return: (R, t, final_energy).
+    """
+    def residuals(R, t):
+        pw = sj.transform_points(R, t, pts)
+
+        def res_fn(p):
+            sdf, std, valid = get_sdf(map_state, map_cfg, dec_params, dec_cfg, p)
+            return sdf / jax.lax.stop_gradient(std), valid
+
+        r, vjp, valid = jax.vjp(res_fn, pw, has_aux=True)
+        dsdf = vjp(jnp.ones_like(r))[0]
+        m = (mask & valid).astype(r.dtype)
+        w = _robust_weight(r, "huber", robust_k) * m
+        Jr = dsdf.T                                   # (3, M)
+        x = pw.T
+        Jp = jnp.stack([x[1] * Jr[2] - x[2] * Jr[1],
+                        x[2] * Jr[0] - x[0] * Jr[2],
+                        x[0] * Jr[1] - x[1] * Jr[0]], 0)
+        J = jnp.concatenate([Jr, Jp], 0)              # (6, M)
+        energy = jnp.sum(r * w * r) / jnp.maximum(jnp.sum(m), 1.0)
+        return r, w, J, energy
+
+    def body(carry):
+        i, R, t, damping, _ = carry
+        r, w, J, energy = residuals(R, t)
+        H = jnp.einsum("am,bm->ab", J * w[None], J, precision=_HI)
+        g = jnp.einsum("am,m->a", J, w * r, precision=_HI)
+        DtD = damping * jnp.diag(jnp.diag(H))
+        xi = jnp.linalg.solve(H + DtD + 1e-12 * jnp.eye(6), -g)
+        eR, et = sj.se3_exp(xi)
+        nR, nt = sj.compose(eR, et, R, t)
+        _, _, _, new_energy = residuals(nR, nt)
+        rho_den = jnp.maximum(jnp.sum(xi * (DtD @ xi)) + jnp.sum(xi * (-g)), 1e-12)
+        rho = (energy - new_energy) / rho_den
+        accept = rho > lm_eps4
+        R2 = jnp.where(accept, nR, R)
+        t2 = jnp.where(accept, nt, t)
+        damping2 = jnp.clip(jnp.where(accept, damping / lm_ldown,
+                                      damping * lm_lup), 1e-7, 1e7)
+        return (i + 1, R2, t2, damping2,
+                jnp.where(accept, new_energy, energy))
+
+    init = (jnp.asarray(0), init_R, init_t,
+            jnp.asarray(damping_init, jnp.float32), jnp.asarray(jnp.inf))
+    _, R, t, _, energy = jax.lax.while_loop(
+        lambda c: c[0] < n_iters, body, init)
+    return R, t, energy
+
+
 class SDFTracker:
     """Tracker front. API parity with the reference SDFTracker
     (system/tracker.py:27) but device-resident: the pose chain, processed
