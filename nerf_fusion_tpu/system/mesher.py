@@ -169,12 +169,25 @@ class Mesher:
 
     def _extract_impl(self, voxel_resolution: int, max_std: float,
                       fast: bool, no_cache: bool):
+        import jax
+
         vmap, cfg = self.map, self.map.cfg
-        vmap.check_overflow()
-        vmap.sync_updated()
         state = vmap.state
+        # One batched D2H for all the host-side bookkeeping (each individual
+        # fetch costs a full roundtrip on tunneled devices).
+        upd_dev = (vmap._updated_dev if vmap._updated_dev is not None
+                   else state.overflow)  # placeholder leaf when nothing pending
+        overflow, upd_fetch, positions, obs, indexer_host = jax.device_get(
+            (state.overflow, upd_dev, state.positions, state.obs_count,
+             state.indexer))
+        if bool(overflow):
+            raise RuntimeError(
+                "Map capacity overflow: raise mapping.latent_capacity/alloc_capacity")
+        if vmap._updated_dev is not None:
+            vmap.updated_slots |= upd_fetch
+            vmap._updated_dev = None
         if no_cache:
-            updated = np.asarray(state.obs_count) > 0
+            updated = obs > 0
             self.vertices = np.zeros((0, 3, 3), np.float32)
             self.vertices_std = np.zeros((0, 3), np.float32)
             self.vertices_flatten_id = np.zeros((0,), np.int64)
@@ -187,8 +200,6 @@ class Mesher:
         # Expand updated voxels to neighbours; keep confident ones
         # (map.py:628-632).  Pure numpy: device ops here would trace a new
         # program per (varying) voxel count on every extraction.
-        positions = np.asarray(state.positions)
-        obs = np.asarray(state.obs_count)
         upd_ids = positions[updated & (positions >= 0)]
         nx, ny, nz = cfg.n_xyz
         xyz = np.stack([upd_ids // (ny * nz), (upd_ids // nz) % ny,
@@ -198,7 +209,7 @@ class Mesher:
         nb = np.clip(xyz[:, None, :] + offs[None], 0,
                      np.array([nx - 1, ny - 1, nz - 1]))
         exp_ids = np.unique((nb[..., 0] * ny + nb[..., 1]) * nz + nb[..., 2])
-        slots = np.asarray(state.indexer)[exp_ids]
+        slots = indexer_host[exp_ids]
         keep = (slots >= 0) & (obs[np.clip(slots, 0, None)] > cfg.ignore_count_th)
         slots = slots[keep]
         mesh_ids = exp_ids[keep]
@@ -241,23 +252,27 @@ class Mesher:
                 jnp.asarray(cfg.bound_min, jnp.float32),
                 r, cfg.latent_capacity, float(max_std), self.budget))
 
-        # Phase 2: one materialisation pass.  Slice sizes are rounded up to
-        # 4096-triangle buckets so at most budget/4096 distinct slice
-        # programs ever compile (a per-n slice would recompile every call).
-        verts_all, vstd_all, fid_all = [], [], []
-        for res in pending:
-            n = int(res.n_triangles)
+        # Phase 2: materialise with exactly TWO batched D2H calls — one for
+        # the counts, one for all (bucket-sliced) triangle buffers.  Slice
+        # sizes round up to 4096-triangle buckets so at most budget/4096
+        # distinct slice programs ever compile.
+        counts = jax.device_get([res.n_triangles for res in pending])
+        sliced, ns = [], []
+        for res, n in zip(pending, counts):
+            n = int(n)
             if n > self.budget:
                 logging.warning("mesh triangle budget exceeded: %d > %d",
                                 n, self.budget)
                 n = self.budget
             nb = min(self.budget, max(4096, -(-n // 4096) * 4096))
-            verts_all.append(np.asarray(res.vertices[:nb])[:n])
-            vstd_all.append(np.asarray(res.vertex_std[:nb])[:n])
-            fid_all.append(np.asarray(res.flatten_id[:nb])[:n].astype(np.int64))
-        verts = np.concatenate(verts_all)
-        vstd = np.concatenate(vstd_all)
-        fid = np.concatenate(fid_all)
+            sliced.append((res.vertices[:nb], res.vertex_std[:nb],
+                           res.flatten_id[:nb]))
+            ns.append(n)
+        fetched = jax.device_get(sliced)
+        verts = np.concatenate([f[0][:n] for f, n in zip(fetched, ns)])
+        vstd = np.concatenate([f[1][:n] for f, n in zip(fetched, ns)])
+        fid = np.concatenate([f[2][:n].astype(np.int64)
+                              for f, n in zip(fetched, ns)])
 
         # Merge: drop every cached triangle owned by a voxel in this batch.
         with self._lock:
