@@ -136,6 +136,18 @@ class Mesher:
         self.vertices_flatten_id = np.zeros((0,), np.int64)
         self._lock = __import__("threading").Lock()
         self._thread = None
+        # Join any in-flight async extraction at interpreter exit: a daemon
+        # thread mid-device-op during runtime teardown aborts the process.
+        import atexit
+        import weakref
+        ref = weakref.ref(self)
+        atexit.register(lambda: (lambda m: m and m.join_async())(ref()))
+
+    def join_async(self):
+        t = self._thread
+        if t is not None and t.is_alive():
+            t.join()
+        self._thread = None
 
     def extract(self, voxel_resolution: int, max_std: float = 2000.0,
                 fast: bool = True, no_cache: bool = False,
@@ -162,9 +174,7 @@ class Mesher:
                 args=(voxel_resolution, max_std, fast, no_cache), daemon=True)
             self._thread.start()
             return None
-        if self._thread is not None:       # drain any async job first
-            self._thread.join()
-            self._thread = None
+        self.join_async()                  # drain any async job first
         return self._extract_impl(voxel_resolution, max_std, fast, no_cache)
 
     def _extract_impl(self, voxel_resolution: int, max_std: float,
