@@ -136,12 +136,34 @@ class ScalarLogger:
             self.tb.add_text("Info", text)
 
 
+def _save_opt_state(path, state):
+    import pickle
+
+    with open(path, "wb") as f:
+        pickle.dump(jax.tree_util.tree_map(np.asarray, state), f)
+
+
+def _load_opt_state(path, like):
+    import pickle
+
+    with open(path, "rb") as f:
+        loaded = pickle.load(f)
+    leaves, _ = jax.tree_util.tree_flatten(loaded)
+    _, treedef = jax.tree_util.tree_flatten(like)
+    return jax.tree_util.tree_unflatten(
+        jax.tree_util.tree_structure(like),
+        [jnp.asarray(l) for l in leaves])
+
+
 def train(args, max_steps_per_epoch: int = None, mesh=None, seed: int = 0,
-          dataset=None):
+          dataset=None, resume_epoch: int = None):
     """Run the full training loop. Returns (model, save_dir).
 
     :param dataset: optional pre-built dataset (e.g. the per-scene
         trainer's in-memory harvest); default builds from args.train_set.
+    :param resume_epoch: resume from this snapshot in the run directory
+        (params + optimizer states + epoch counter) — a capability the
+        reference lacks (start_epoch hardcoded, SURVEY.md §5.4).
     """
     checkpoints = list(range(args.snapshot_frequency, args.num_epochs + 1,
                              args.snapshot_frequency))
@@ -175,6 +197,20 @@ def train(args, max_steps_per_epoch: int = None, mesh=None, seed: int = 0,
     write_hyper_json(save_dir, args)
     viz = ScalarLogger(save_dir / "logs")
 
+    start_epoch = 1
+    if resume_epoch is not None:
+        from .. import models
+        from ..models.io import load_params
+        model.decoder_params = load_params(save_dir / f"model_{resume_epoch}.npz")
+        enc = load_params(save_dir / f"encoder_{resume_epoch}.npz")
+        model.encoder_params, model.encoder_bn = enc["params"], enc["bn"]
+        opt_path = save_dir / f"optimizer_{resume_epoch}.pkl"
+        if opt_path.exists():
+            dec_opt_state, enc_opt_state = _load_opt_state(
+                opt_path, (dec_opt_state, enc_opt_state))
+        start_epoch = resume_epoch + 1
+        logging.info("resumed from epoch %d", resume_epoch)
+
     if mesh is not None:
         model.decoder_params = replicate(mesh, model.decoder_params)
         model.encoder_params = replicate(mesh, model.encoder_params)
@@ -184,10 +220,10 @@ def train(args, max_steps_per_epoch: int = None, mesh=None, seed: int = 0,
         enc_opt_state = jax.tree_util.tree_map(
             lambda x: replicate(mesh, {"x": x})["x"], enc_opt_state)
 
-    rng = jax.random.PRNGKey(seed)
-    it = 0
+    rng = jax.random.PRNGKey(seed + (resume_epoch or 0))
+    it = (start_epoch - 1) * max(len(dataset) // args.batch_size, 1)
     t0 = time.time()
-    for epoch in range(1, args.num_epochs + 1):
+    for epoch in range(start_epoch, args.num_epochs + 1):
         lr_dec = schedules[0].get_learning_rate(epoch)
         lr_enc = schedules[1].get_learning_rate(epoch)
         meter = AverageMeter()
@@ -226,4 +262,6 @@ def train(args, max_steps_per_epoch: int = None, mesh=None, seed: int = 0,
         if epoch in checkpoints:
             save_checkpoint(save_dir, epoch, model,
                             extra={"opt": {"epoch": np.asarray(epoch)}})
+            _save_opt_state(save_dir / f"optimizer_{epoch}.pkl",
+                            (dec_opt_state, enc_opt_state))
     return model, save_dir

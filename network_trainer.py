@@ -22,13 +22,15 @@ def main(argv=None):
     parser = exp_util.ArgumentParserX(add_hyper_arg=True)
     parser.add_argument("--dp", type=int, default=0,
                         help="data-parallel degree (0 = single device)")
+    parser.add_argument("--resume", type=int, default=None,
+                        help="resume from this snapshot epoch in the run dir")
     args = parser.parse_args(argv)
 
     mesh = None
     if args.dp and args.dp > 1:
         from nerf_fusion_tpu.parallel.mesh import make_mesh
         mesh = make_mesh(n_devices=args.dp, tp=1)
-    model, save_dir = train(args, mesh=mesh)
+    model, save_dir = train(args, mesh=mesh, resume_epoch=args.resume)
     logging.info("training complete; checkpoints in %s", save_dir)
     return save_dir
 
