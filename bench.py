@@ -63,6 +63,12 @@ def main():
     dt = time.perf_counter() - t0
 
     fps = N_BENCH / dt
+    # quality guard on stderr (the one JSON line on stdout stays the contract)
+    from nerf_fusion_tpu.utils.evaluate import ate_rmse
+    traj = pipe.trajectory()
+    gts = [f.gt_pose for f in frames[:len(traj)]]
+    print(f"ate_rmse={ate_rmse(traj, gts):.5f} m over {len(traj)} frames",
+          file=sys.stderr)
     print(json.dumps({
         "metric": "online_fusion_fps_640x480",
         "value": round(fps, 3),

@@ -34,6 +34,8 @@ def main(argv=None):
     parser.add_argument("--output", type=str, default="output/fusion",
                         help="output directory for trajectory/mesh/stats")
     parser.add_argument("--max_frames", type=int, default=None)
+    parser.add_argument("--profile", type=str, default=None,
+                        help="write a jax profiler trace to this directory")
     args = parser.parse_args(argv)
     logging.basicConfig(level=logging.INFO)
 
@@ -51,8 +53,15 @@ def main(argv=None):
 
     sequence = build_sequence(args)
     pipeline = FusionPipeline(model, args)
+    if args.profile:
+        import jax
+        jax.profiler.start_trace(args.profile)
     results = pipeline.run(sequence, use_gt_pose=bool(args.gt_pose),
                            max_frames=args.max_frames, output_dir=args.output)
+    if args.profile:
+        import jax
+        jax.profiler.stop_trace()
+        logging.info("profiler trace written to %s", args.profile)
     logging.info("results: %s", results)
     return results
 
