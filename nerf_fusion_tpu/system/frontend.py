@@ -32,13 +32,15 @@ class Preprocessed(NamedTuple):
     mask: jnp.ndarray      # (M,) bool
 
 
-@functools.partial(jax.jit, static_argnames=("point_budget",))
+@functools.partial(jax.jit, static_argnames=("point_budget", "subsample"))
 def preprocess_frame(rgb, depth, fx, fy, cx, cy,
-                     depth_cut_min, depth_cut_max, point_budget: int):
+                     depth_cut_min, depth_cut_max, point_budget: int,
+                     subsample: float = 0.5):
     """rgb (H,W,3), depth (H,W) -> Preprocessed.
 
-    Depth subsample is fixed at 0.5 (the shipped tracking config's
-    ``sdf.subsample``); the box filter voxel is 2 cm (tracker.py:119).
+    ``subsample`` is the tracking config's ``sdf.subsample`` depth scale
+    (0.5 in fusion-lr-kt.yaml, 1.0 in train_scannet.yaml); the box filter
+    voxel is 2 cm (tracker.py:119).
     """
     intensity = jnp.mean(rgb, axis=-1)
     depth = jnp.where((depth < depth_cut_min) | (depth > depth_cut_max),
@@ -55,9 +57,17 @@ def preprocess_frame(rgb, depth, fx, fy, cx, cy,
     g2 = imgproc.gradient_xy(i2)
     pyr = Pyramid((i0, i1, i2), (d0, d1, d2), (g0, g1, g2))
 
-    # Point-cloud path at 0.5x (tracker.py:91-98). Plane-major (3, H, W).
-    pc_depth = d1
-    pts = imgproc.unproject_depth(pc_depth, fx * 0.5, fy * 0.5, cx * 0.5, cy * 0.5)
+    # Point-cloud path at `subsample` scale (tracker.py:91-98).
+    # Plane-major (3, H, W).
+    assert subsample in (1.0, 0.5, 0.25), "supported depth subsample scales"
+    if subsample == 1.0:
+        pc_depth = d0
+    elif subsample == 0.5:
+        pc_depth = d1
+    else:
+        pc_depth = d2
+    s = subsample
+    pts = imgproc.unproject_depth(pc_depth, fx * s, fy * s, cx * s, cy * s)
     valid = jnp.isfinite(pc_depth)
     pts0 = jnp.where(valid[None], pts, 0.0)
 

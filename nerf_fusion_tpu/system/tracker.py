@@ -396,7 +396,8 @@ class SDFTracker:
         return preprocess_frame(jnp.asarray(rgb, jnp.float32),
                                 jnp.asarray(depth, jnp.float32),
                                 calib.fx, calib.fy, calib.cx, calib.cy,
-                                depth_cut[0], depth_cut[1], self.point_budget)
+                                depth_cut[0], depth_cut[1], self.point_budget,
+                                subsample=self.tcfg.subsample)
 
     def track_camera(self, rgb, depth, calib, set_pose: Isometry = None,
                      depth_cut=(0.5, 5.0)):
