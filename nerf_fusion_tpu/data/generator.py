@@ -112,6 +112,11 @@ def generate_samples(idx: int, args, provider, output_base: Path, source_list):
     M.save_obj(output_base / "mesh" / ("%06d.obj" % mesh_idx), V, F)
     for lid, lif in zip(lif_ids, lifs):
         np.savez(output_base / "payload" / ("%08d.npz" % lid), **lif)
+    # Incremental index checkpoint: a killed/crashed run keeps a usable
+    # dataset (the reference only writes source.json at the very end).
+    with _counter.get_lock():
+        with (output_base / "source.json").open("w") as f:
+            json.dump(list(source_list), f)
     provider.clean(idx)
 
 
