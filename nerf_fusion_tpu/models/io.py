@@ -19,7 +19,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..utils.config import dict_to_args, parse_config_json
+from ..utils.config import parse_config_json
 from .decoder import DecoderConfig, init_decoder
 from .encoder import EncoderConfig, init_encoder
 

@@ -36,7 +36,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from . import voxel as vox
-from .mc_tables import CORNERS, EDGE_CORNERS, EDGE_TABLE, MAX_TRIS_PER_CELL, TRI_TABLE
+from .mc_tables import CORNERS, EDGE_CORNERS, MAX_TRIS_PER_CELL, TRI_TABLE
 
 
 class MCResult(NamedTuple):

@@ -28,7 +28,6 @@ functional and jitted.
 from __future__ import annotations
 
 import functools
-import logging
 from typing import NamedTuple
 
 import jax

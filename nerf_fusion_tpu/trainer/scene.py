@@ -28,7 +28,6 @@ import numpy as np
 from ..data.generator import split_lifs
 from ..data.lif_dataset import LifDataset
 from ..system.frontend import preprocess_frame
-from ..utils.config import dict_to_args
 from . import train as trainer_mod
 
 

@@ -33,8 +33,8 @@ from ..data.lif_dataset import LifCombinedDataset, LifDataset, batch_iterator
 from ..models import criterion
 from ..models.decoder import apply_decoder
 from ..models.encoder import EncoderConfig, apply_encoder
-from ..models.io import Networks, build_model, save_checkpoint, write_hyper_json
-from ..parallel.mesh import make_mesh, replicate, shard_batch
+from ..models.io import build_model, save_checkpoint, write_hyper_json
+from ..parallel.mesh import replicate, shard_batch
 from ..utils.config import dict_to_args
 from ..utils.meters import AverageMeter, RunningAverageMeter
 from . import lr_schedule
