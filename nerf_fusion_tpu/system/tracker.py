@@ -277,6 +277,13 @@ def track_gauss_newton(map_state, map_cfg, dec_params, dec_cfg, tcfg: TrackerCon
     return dR, dt, jnp.stack(iters_used)
 
 
+@functools.partial(jax.jit, donate_argnames=("log",))
+def _append_pose(log, count, R, t):
+    """Append (R|t) to the preallocated device pose log (donated in-place)."""
+    entry = jnp.concatenate([R, t[:, None]], axis=1)       # (3, 4)
+    return log.at[count].set(entry), count + 1
+
+
 @functools.partial(jax.jit, static_argnames=("map_cfg", "dec_cfg", "tcfg"))
 def track_and_update(map_state, map_cfg, dec_params, dec_cfg, tcfg: TrackerConfig,
                      prev_pyr, cur_pyr, pts, mask, last_R, last_t,
@@ -387,6 +394,12 @@ class SDFTracker:
         # before the full cloud size.
         self.gn_point_budget = min(gn_point_budget or 8192, point_budget)
         self.all_pd_pose = []          # device (R, t) tuples
+        # Device-side pose log: one preallocated (cap, 3, 4) buffer appended
+        # in place per frame so pose_history costs ONE transfer (fetching N
+        # separately-computed small arrays costs a tunnel roundtrip each).
+        self.pose_log_capacity = 16384
+        self._pose_log = jnp.zeros((self.pose_log_capacity, 3, 4), jnp.float32)
+        self._pose_count = jnp.asarray(0, jnp.int32)
         self.prev_pyr = None
         self.last_processed_pc = None  # device (points, normals, mask)
         self.last_iters = None
@@ -424,18 +437,16 @@ class SDFTracker:
 
         self.prev_pyr = pre.pyramid
         self.all_pd_pose.append(pose)
+        self._pose_log, self._pose_count = _append_pose(
+            self._pose_log, self._pose_count, pose[0], pose[1])
         return pose
 
     def pose_history(self):
-        """Materialise the device pose chain as host Isometries.
-
-        Batched into two D2H transfers (per-pose transfers would cost one
-        tunnel roundtrip each)."""
-        if not self.all_pd_pose:
+        """Materialise the device pose chain as host Isometries (ONE D2H)."""
+        n = len(self.all_pd_pose)
+        if n == 0:
             return []
-        # device_get fetches the whole pytree in one batched transfer and,
-        # unlike jnp.stack, never compiles a length-dependent program.
-        fetched = jax.device_get(self.all_pd_pose)
-        return [Isometry.from_matrix(np.asarray(R, np.float64),
-                                     np.asarray(t, np.float64), ortho=True)
-                for R, t in fetched]
+        log = np.asarray(self._pose_log[:((n + 255) // 256) * 256])[:n]
+        return [Isometry.from_matrix(np.asarray(e[:, :3], np.float64),
+                                     np.asarray(e[:, 3], np.float64), ortho=True)
+                for e in log]
