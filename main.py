@@ -36,6 +36,9 @@ def main(argv=None):
     parser.add_argument("--max_frames", type=int, default=None)
     parser.add_argument("--profile", type=str, default=None,
                         help="write a jax profiler trace to this directory")
+    parser.add_argument("--load_map", type=str, default=None,
+                        help="resume fusion from a saved map.npz (the "
+                             "reference README's save+reload workflow)")
     args = parser.parse_args(argv)
     logging.basicConfig(level=logging.INFO)
 
@@ -53,6 +56,11 @@ def main(argv=None):
 
     sequence = build_sequence(args)
     pipeline = FusionPipeline(model, args)
+    if args.load_map:
+        pipeline.map.load(args.load_map)
+        pipeline.map.updated_slots[:] = True  # re-mesh everything once
+        logging.info("resumed map from %s (%d voxels occupied)",
+                     args.load_map, int(pipeline.map.state.n_occupied))
     if args.profile:
         import jax
         jax.profiler.start_trace(args.profile)

@@ -137,6 +137,49 @@ def write_hyper_json(save_dir, args):
                   indent=2, default=_default)
 
 
+def export_torch_checkpoint(model: Networks, decoder_path, encoder_path=None,
+                            epoch: int = 0):
+    """Write our params as reference-format torch ``.pth.tar`` files.
+
+    The inverse of ``import_torch_checkpoint``: lets a reference user take a
+    TPU-trained prior back to the CUDA implementation unchanged (weight-norm
+    g/v layout, 1x1-conv unsqueeze, BN running stats).
+    """
+    import torch
+
+    t = lambda a: torch.from_numpy(np.asarray(a, np.float32))
+    dstate = {}
+    n_lin = model.decoder_config.num_layers - 1
+    for layer in range(n_lin):
+        p = model.decoder_params[f"lin{layer}"]
+        if "v" in p:
+            dstate[f"lin{layer}.weight_v"] = t(p["v"])
+            dstate[f"lin{layer}.weight_g"] = t(p["g"]).reshape(-1, 1)
+        else:
+            dstate[f"lin{layer}.weight"] = t(p["w"])
+        dstate[f"lin{layer}.bias"] = t(p["b"])
+    dstate["uncertainty_layer.weight"] = t(model.decoder_params["unc"]["w"])
+    dstate["uncertainty_layer.bias"] = t(model.decoder_params["unc"]["b"])
+    torch.save({"epoch": epoch, "model_state": dstate}, decoder_path)
+
+    if encoder_path is not None:
+        estate = {}
+        for i in range(model.encoder_config.n_layers):
+            p = model.encoder_params[f"layer{i}"]
+            estate[f"mlp.layer{i}.conv.weight"] = t(p["w"]).unsqueeze(-1)
+            if "b" in p:
+                estate[f"mlp.layer{i}.conv.bias"] = t(p["b"])
+            if f"layer{i}" in model.encoder_bn:
+                s = model.encoder_bn[f"layer{i}"]
+                estate[f"mlp.layer{i}.normlayer.bn.weight"] = t(s["scale"])
+                estate[f"mlp.layer{i}.normlayer.bn.bias"] = t(s["bias"])
+                estate[f"mlp.layer{i}.normlayer.bn.running_mean"] = t(s["mean"])
+                estate[f"mlp.layer{i}.normlayer.bn.running_var"] = t(s["var"])
+                estate[f"mlp.layer{i}.normlayer.bn.num_batches_tracked"] = \
+                    torch.tensor(0)
+        torch.save({"epoch": epoch, "model_state": estate}, encoder_path)
+
+
 # -- torch checkpoint import --------------------------------------------------
 
 def import_torch_checkpoint(model: Networks, decoder_path, encoder_path=None):

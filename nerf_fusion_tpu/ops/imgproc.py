@@ -248,7 +248,8 @@ def radius_outlier_mask_exact(points: "np.ndarray", nb_points: int = 16,
 
 def box_filter_points(pts: jnp.ndarray, normals: jnp.ndarray, valid: jnp.ndarray,
                       voxel_size: float, capacity: int,
-                      extent: float = 8.0, table_bits: int = 17):
+                      extent: float = 8.0, table_bits: int = 17,
+                      colors: jnp.ndarray = None):
     """Voxel-grid mean downsample into a fixed ``capacity`` buffer.
 
     Replaces tracker.py:14-24 (torch_scatter mean over unique voxel ids).
@@ -280,6 +281,8 @@ def box_filter_points(pts: jnp.ndarray, normals: jnp.ndarray, valid: jnp.ndarray
     psum = vox.masked_segment_sum(pts, h, mine, TBL)
     nsum = vox.masked_segment_sum(normals, h, mine, TBL)
     csum = vox.masked_segment_sum(jnp.ones((pts.shape[0],)), h, mine, TBL)
+    rgbsum = (vox.masked_segment_sum(colors, h, mine, TBL)
+              if colors is not None else None)
 
     # compact occupied slots into the fixed capacity (cumsum rank).
     occ = csum > 0
@@ -292,7 +295,11 @@ def box_filter_points(pts: jnp.ndarray, normals: jnp.ndarray, valid: jnp.ndarray
     nn = jnp.sqrt(jnp.maximum(jnp.sum(out_n * out_n, -1, keepdims=True), 1e-24))
     out_n = out_n / nn
     mask = jnp.arange(capacity) < jnp.minimum(n_occ, capacity)
-    return out_p, out_n, mask
+    if colors is None:
+        return out_p, out_n, mask
+    out_c = jnp.zeros((capacity + 1, 3)).at[dest].set(
+        rgbsum / c, mode="drop")[:capacity]
+    return out_p, out_n, out_c, mask
 
 
 def rgb_odometry(prev_intensity, prev_depth, cur_intensity, cur_depth,

@@ -29,6 +29,8 @@ class Preprocessed(NamedTuple):
     pyramid: Pyramid
     points: jnp.ndarray    # (M, 3) camera-frame surface points
     normals: jnp.ndarray   # (M, 3) camera-frame normals
+    colors: jnp.ndarray    # (M, 3) mean rgb per box cell (tracker.py:118
+                           # last_colored_pcd parity, for texture export)
     mask: jnp.ndarray      # (M,) bool
 
 
@@ -84,6 +86,15 @@ def preprocess_frame(rgb, depth, fx, fy, cx, cy,
     flat_p = pts0.reshape(3, -1).T
     flat_n = normals.reshape(3, -1).T
     flat_v = valid.reshape(-1)
-    bp, bn, bm = imgproc.box_filter_points(flat_p, flat_n, flat_v,
-                                           voxel_size=0.02, capacity=point_budget)
-    return Preprocessed(pyr, bp, bn, bm)
+    # rgb at the point-cloud scale for the colored-cloud output
+    if subsample == 1.0:
+        rgb_pc = rgb
+    elif subsample == 0.5:
+        rgb_pc = rgb[::2, ::2]
+    else:
+        rgb_pc = rgb[::4, ::4]
+    flat_c = rgb_pc.reshape(-1, 3)
+    bp, bn, bc, bm = imgproc.box_filter_points(
+        flat_p, flat_n, flat_v, voxel_size=0.02, capacity=point_budget,
+        colors=flat_c)
+    return Preprocessed(pyr, bp, bn, bc, bm)

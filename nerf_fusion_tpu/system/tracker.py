@@ -402,6 +402,7 @@ class SDFTracker:
         self._pose_count = jnp.asarray(0, jnp.int32)
         self.prev_pyr = None
         self.last_processed_pc = None  # device (points, normals, mask)
+        self.last_colored_pcd = None   # device (points, rgb, mask)
         self.last_iters = None
 
     def preprocess(self, rgb, depth, calib, depth_cut=(0.5, 5.0)):
@@ -417,6 +418,8 @@ class SDFTracker:
         for host Isometries."""
         pre = self.preprocess(rgb, depth, calib, depth_cut)
         self.last_processed_pc = (pre.points, pre.normals, pre.mask)
+        # colored cloud for texture storage/extraction (tracker.py:118)
+        self.last_colored_pcd = (pre.points, pre.colors, pre.mask)
 
         if set_pose is not None:
             pose = (jnp.asarray(set_pose.q.rotation_matrix, jnp.float32),
