@@ -230,37 +230,48 @@ class Mesher:
         B = MESH_CHUNK
         reeval_budget = max(1024, int(B * (2 * r) ** 3 * self.reeval_fraction))
 
-        # Phase 1: enqueue every chunk's device program (no host syncs —
-        # chunks pipeline on device while the host prepares the next one).
-        pending = []
-        for s in range(0, B_real, B):
-            nb = min(B, B_real - s)
-            slots_p = np.zeros((B,), np.int32)
-            slots_p[:nb] = slots[s:s + nb]
-            ids_p = np.zeros((B,), np.int64)
-            ids_p[:nb] = mesh_ids[s:s + nb]
-            valid_b = np.zeros((B,), bool)
-            valid_b[:nb] = True
-
-            latents_b = state.latents[jnp.asarray(slots_p)]
-            cube_sdf, cube_std = _decode_cubes(
+        # Phase 1a: decode every voxel's sample cube in fixed-size chunks
+        # (one compiled decode program regardless of batch size).
+        n_chunks = -(-B_real // B)
+        cube_sdf_chunks, cube_std_chunks = [], []
+        slots_pad = np.zeros((n_chunks * B,), np.int32)
+        slots_pad[:B_real] = slots
+        ids_pad = np.zeros((n_chunks * B,), np.int64)
+        ids_pad[:B_real] = mesh_ids
+        for s in range(0, n_chunks * B, B):
+            valid_b = jnp.asarray(np.arange(s, s + B) < B_real)
+            latents_b = state.latents[jnp.asarray(slots_pad[s:s + B])]
+            csdf, cstd = _decode_cubes(
                 vmap.model.decoder_params, vmap.model.decoder_config,
-                latents_b, jnp.asarray(valid_b), r, fast, reeval_budget)
+                latents_b, valid_b, r, fast, reeval_budget)
+            cube_sdf_chunks.append(csdf)
+            cube_std_chunks.append(cstd)
 
-            # slot -> batch row mapping for cross-voxel interpolation.
-            # Voxels outside this chunk fall back to the owning voxel's own
-            # margin samples (the interpolation renormalises), exactly like
-            # voxels absent from the reference's vec_batch_mapping.
-            batch_map = np.full((cfg.latent_capacity,), -1, np.int32)
-            batch_map[slots_p[:nb]] = np.arange(nb, dtype=np.int32)
+        # Phase 1b: ONE marching-cubes pass over the whole batch (bucketed
+        # to power-of-two chunk counts so only log2 shapes ever compile);
+        # the global batch_map gives every voxel access to ALL neighbours'
+        # sample grids — no chunk-boundary interpolation seams.
+        bucket_chunks = 1
+        while bucket_chunks < n_chunks:
+            bucket_chunks *= 2
+        BT = bucket_chunks * B
+        pad_chunks = bucket_chunks - n_chunks
+        zeros_cube = jnp.zeros_like(cube_sdf_chunks[0])
+        cube_sdf = jnp.concatenate(cube_sdf_chunks + [zeros_cube] * pad_chunks)
+        cube_std = jnp.concatenate(cube_std_chunks + [zeros_cube] * pad_chunks)
+        ids_b = np.zeros((BT,), np.int64)
+        ids_b[:B_real] = mesh_ids
+        valid_bt = np.arange(BT) < B_real
+        batch_map = np.full((cfg.latent_capacity,), -1, np.int32)
+        batch_map[slots] = np.arange(B_real, dtype=np.int32)
 
-            pending.append(marching_cubes_sparse(
-                state.indexer, jnp.asarray(batch_map),
-                jnp.asarray(ids_p, jnp.int32),
-                jnp.asarray(valid_b), cube_sdf, cube_std,
-                cfg.n_xyz, cfg.voxel_size,
-                jnp.asarray(cfg.bound_min, jnp.float32),
-                r, cfg.latent_capacity, float(max_std), self.budget))
+        pending = [marching_cubes_sparse(
+            state.indexer, jnp.asarray(batch_map),
+            jnp.asarray(ids_b, jnp.int32),
+            jnp.asarray(valid_bt), cube_sdf, cube_std,
+            cfg.n_xyz, cfg.voxel_size,
+            jnp.asarray(cfg.bound_min, jnp.float32),
+            r, cfg.latent_capacity, float(max_std), self.budget)]
 
         # Phase 2: materialise with exactly TWO batched D2H calls — one for
         # the counts, one for all (bucket-sliced) triangle buffers.  Slice
