@@ -7,7 +7,10 @@ encoders and any NeRF-style sampling built on top of the framework.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
+
+_HI = jax.lax.Precision.HIGHEST
 
 
 def gen_rays(pose_R, pose_t, width: int, height: int, fx, fy, cx, cy,
@@ -21,7 +24,7 @@ def gen_rays(pose_R, pose_t, width: int, height: int, fx, fy, cx, cy,
     v = jnp.arange(height, dtype=jnp.float32)[:, None].repeat(width, 1)
     d_cam = jnp.stack([(u - cx) / fx, (v - cy) / fy, jnp.ones_like(u)], -1)
     d_cam = d_cam / jnp.linalg.norm(d_cam, axis=-1, keepdims=True)
-    d_world = jnp.einsum("ij,hwj->hwi", pose_R, d_cam)
+    d_world = jnp.einsum("ij,hwj->hwi", pose_R, d_cam, precision=_HI)
     origin = jnp.broadcast_to(pose_t[None, None, :], d_world.shape)
     nf = jnp.broadcast_to(jnp.asarray([z_near, z_far], jnp.float32),
                           d_world.shape[:2] + (2,))
@@ -30,7 +33,8 @@ def gen_rays(pose_R, pose_t, width: int, height: int, fx, fy, cx, cy,
 
 def project_points(pts, pose_R, pose_t, fx, fy, cx, cy):
     """World points -> (uv (N,2), z (N,), in_front (N,)) for a pinhole camera."""
-    p_cam = (pts - pose_t[None, :]) @ pose_R  # R^T (p - t) in row form
+    p_cam = jnp.matmul(pts - pose_t[None, :], pose_R,
+                       precision=_HI)  # R^T (p - t) in row form
     z = p_cam[:, 2]
     zs = jnp.where(jnp.abs(z) < 1e-9, 1e-9, z)
     u = p_cam[:, 0] / zs * fx + cx
