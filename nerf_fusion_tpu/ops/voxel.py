@@ -115,6 +115,29 @@ def masked_segment_sum(values: jnp.ndarray, seg_ids: jnp.ndarray,
     return out[:num_segments]
 
 
+def masked_segment_max(values: jnp.ndarray, seg_ids: jnp.ndarray,
+                       valid: jnp.ndarray, num_segments: int,
+                       fill_value=None):
+    """segment-max of ``values`` rows into ``num_segments`` buckets.
+
+    Counterpart of the reference's atomicMax groupby kernel
+    (system/ext/indexing.cu:37-57, exported but unused there); kept for
+    API completeness.  Empty buckets return ``fill_value`` (default: the
+    dtype's lowest finite value, matching segment_max identity).
+    """
+    seg = jnp.where(valid, seg_ids, num_segments)
+    out = jax.ops.segment_max(values, seg, num_segments=num_segments + 1)
+    out = out[:num_segments]
+    if fill_value is not None:
+        counts = masked_segment_sum(jnp.ones_like(seg_ids, jnp.int32),
+                                    seg_ids, valid, num_segments)
+        empty = counts == 0
+        if out.ndim > 1:
+            empty = empty[:, None]
+        out = jnp.where(empty, fill_value, out)
+    return out
+
+
 def expand_neighbors6(flat_ids: jnp.ndarray, valid: jnp.ndarray, n_xyz):
     """Each id -> itself + its 6 axis neighbours (clamped to bounds).
 

@@ -69,6 +69,23 @@ def test_masked_segment_sum_matches_numpy():
     assert np.allclose(out, expect, atol=1e-5)
 
 
+def test_masked_segment_max_matches_numpy():
+    rng = np.random.RandomState(2)
+    vals = rng.randn(100, 4).astype(np.float32)
+    seg = rng.randint(0, 10, 100)
+    valid = rng.rand(100) > 0.3
+    out = np.asarray(vox.masked_segment_max(
+        jnp.asarray(vals), jnp.asarray(seg), jnp.asarray(valid), 10,
+        fill_value=0.0))
+    expect = np.zeros((10, 4), np.float32)
+    hit = np.zeros(10, bool)
+    for v, s, m in zip(vals, seg, valid):
+        if m:
+            expect[s] = np.maximum(expect[s], v) if hit[s] else v
+            hit[s] = True
+    assert np.allclose(out, expect, atol=1e-6)
+
+
 def test_expand_neighbors6():
     n_xyz = (4, 4, 4)
     center = vox.linearize_id(jnp.asarray([[1, 1, 1]]), n_xyz)
