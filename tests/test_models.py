@@ -157,6 +157,13 @@ def test_encoder_parity_with_torch(ref_model):
             h = torch.relu(h)
 
     cfg = EncoderConfig(29, [6, 32, 64, 256], bn={"class": "BatchNorm"}, mode="cnp")
-    lat_j, _ = apply_encoder(ref_model.encoder_params, ref_model.encoder_bn, cfg,
-                             jnp.asarray(x), train=False)
-    assert np.allclose(np.asarray(lat_j), h.numpy(), atol=3e-5)
+    # f64 on the JAX side (like the decoder parity test): the remaining diff
+    # is torch's own f32 rounding, so the tolerance is platform-independent
+    # (f32 HIGH on TPU is bf16x3 and misses 3e-5).
+    with jax.enable_x64():
+        params64 = jax.tree_util.tree_map(
+            lambda a: jnp.asarray(np.asarray(a), jnp.float64),
+            (ref_model.encoder_params, ref_model.encoder_bn))
+        lat_j, _ = apply_encoder(params64[0], params64[1], cfg,
+                                 jnp.asarray(x, jnp.float64), train=False)
+        assert np.allclose(np.asarray(lat_j), h.numpy(), atol=3e-5)
