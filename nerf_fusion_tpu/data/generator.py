@@ -86,7 +86,7 @@ def generate_samples(idx: int, args, provider, output_base: Path, source_list):
         perturb_ratio=0.8,
         expand=args.voxel_size * 2.5,
         rng=rng,
-        method=int(getattr(args, "sample_method", 2)),
+        method=int(getattr(args, "sample_method", 1)),
         cameras=item.get("cameras"),
         ortho_half=item.get("ortho_half"))
     data_arr = data_arr * mult

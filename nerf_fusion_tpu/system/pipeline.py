@@ -28,7 +28,10 @@ class FusionPipeline:
         latent_dim = args.model.code_length
         self.args = args
         self.map = SparseVoxelMap(model, map_args, latent_dim)
-        self.mesher = Mesher(self.map)
+        # Triangle budget: reference main.py:93 drives int(4e6); configs may
+        # override via max_n_triangles.
+        self.mesher = Mesher(self.map, max_n_triangles=int(
+            getattr(args, "max_n_triangles", 4e6)))
         budget = point_budget or int(getattr(map_args, "points_capacity", 16384))
         self.tracker = SDFTracker(self.map, args.tracking, point_budget=budget)
         self.timer = StageTimer()

@@ -44,40 +44,6 @@ from .map import get_sdf
 _HI = jax.lax.Precision.HIGHEST
 
 
-def solve6(H, g):
-    """Unrolled 6x6 Cholesky solve (H PSD).
-
-    ``jnp.linalg.solve`` lowers to a pivoting LU kernel that is grossly
-    oversized for a 6x6 system inside a scan; the unrolled Cholesky is ~60
-    scalar FMAs.
-    """
-    L = [[None] * 6 for _ in range(6)]
-    for i in range(6):
-        for j in range(i + 1):
-            s = H[i, j]
-            for k in range(j):
-                s = s - L[i][k] * L[j][k]
-            if i == j:
-                L[i][j] = jnp.sqrt(jnp.maximum(s, 1e-12))
-            else:
-                L[i][j] = s / L[j][j]
-    # forward substitution L y = g
-    y = [None] * 6
-    for i in range(6):
-        s = g[i]
-        for k in range(i):
-            s = s - L[i][k] * y[k]
-        y[i] = s / L[i][i]
-    # back substitution L^T x = y
-    x = [None] * 6
-    for i in reversed(range(6)):
-        s = y[i]
-        for k in range(i + 1, 6):
-            s = s - L[k][i] * x[k]
-        x[i] = s / L[i][i]
-    return jnp.stack(x)
-
-
 def _robust_weight(x, kernel: str, k: float):
     if kernel is None:
         return jnp.ones_like(x)
@@ -103,6 +69,7 @@ class TrackerConfig(NamedTuple):
     max_depth_delta: float
     motion_weight: float
     rgb_stride: int
+    scale_level_intrinsics: bool
 
     @staticmethod
     def from_args(args) -> "TrackerConfig":
@@ -122,10 +89,16 @@ class TrackerConfig(NamedTuple):
             min_grad_scale=float(rgb.get("min_grad_scale", 0.0)),
             max_depth_delta=float(rgb.get("max_depth_delta", 0.2)),
             # photometric pixel stride: the warp gather is the TPU-limiting
-            # op; default 2 keeps ATE parity while quartering gather volume.
-            # Set rgb: {stride: 1} in the config for the reference's dense
-            # evaluation.
-            rgb_stride=int(rgb.get("stride", 2)),
+            # op; stride 2 quarters gather volume at a measured 0.6% relative
+            # ATE cost.  Default 1 = the reference's dense evaluation
+            # (parity first; the fast path is an explicit config opt-in).
+            rgb_stride=int(rgb.get("stride", 1)),
+            # The reference passes FULL-resolution intrinsics at every
+            # pyramid level (tracker.py:144-150), mis-scaling the coarse
+            # levels.  Default False reproduces that; set
+            # rgb: {scale_intrinsics: true} for the corrected 0.5^level
+            # scaling.
+            scale_level_intrinsics=bool(rgb.get("scale_intrinsics", False)),
             motion_weight=float(getattr(args, "motion", {}).get("weight", 1.0)
                                 if hasattr(args, "motion") else 1.0),
         )
@@ -225,7 +198,7 @@ def track_gauss_newton(map_state, map_cfg, dec_params, dec_cfg, tcfg: TrackerCon
                     H, g, energy = H + Hs, g + gs, energy + es
                 elif term[0] == "rgb":
                     lev = int(term[1]) if len(term) > 1 else 0
-                    s = 0.5 ** lev
+                    s = 0.5 ** lev if tcfg.scale_level_intrinsics else 1.0
                     level_data = (prev_pyr.intensity[lev], prev_pyr.depth[lev],
                                   cur_pyr.intensity[lev], cur_pyr.depth[lev],
                                   cur_pyr.gradient[lev])

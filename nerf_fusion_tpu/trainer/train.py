@@ -228,6 +228,7 @@ def train(args, max_steps_per_epoch: int = None, mesh=None, seed: int = 0,
         lr_enc = schedules[1].get_learning_rate(epoch)
         meter = AverageMeter()
         running = RunningAverageMeter(alpha=0.3)
+        last_logs = None
         for bi, (sdf_b, surf_b, idx_b) in enumerate(
                 batch_iterator(dataset, args.batch_size, seed=seed + epoch)):
             if max_steps_per_epoch is not None and bi >= max_steps_per_epoch:
@@ -242,6 +243,7 @@ def train(args, max_steps_per_epoch: int = None, mesh=None, seed: int = 0,
                 dec_opt_state, enc_opt_state, batch[0], batch[1], sub,
                 epoch, lr_dec, lr_enc)
             it += 1
+            last_logs = logs
             # Fetch loss scalars only every 10 steps: each float() is a
             # device->host sync that would otherwise serialise the step queue.
             if it % 10 == 0:
@@ -250,9 +252,9 @@ def train(args, max_steps_per_epoch: int = None, mesh=None, seed: int = 0,
                 meter.append_loss(host_logs)
                 for k, v in host_logs.items():
                     viz.update(f"train/{k}", it, {"scalar": v})
-        if not meter.loss_dict and "logs" in dir():
+        if not meter.loss_dict and last_logs is not None:
             # short epochs (< 10 steps) would otherwise log nothing
-            meter.append_loss({k: float(v) for k, v in logs.items()})
+            meter.append_loss({k: float(v) for k, v in last_logs.items()})
         train_avg = meter.get_mean_loss_dict()
         for k, v in train_avg.items():
             viz.update(f"epoch_sum/{k}", epoch, {"train": v})
