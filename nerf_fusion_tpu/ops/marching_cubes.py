@@ -14,8 +14,21 @@ Semantics reproduced from the reference kernel:
     lower/upper neighbours per axis (linear cross-fade of the overlapping
     margins), each source additionally weighted by its predicted std
     (``STD_W_SDF`` in mc_interp_kernel.cu:32,96-185);
-  * missing neighbour sources just renormalise; the owning voxel is always
-    present so no cell dies (matching the shipped interpolate=True path);
+  * missing (out-of-grid / unallocated / not-in-batch) neighbour sources
+    drop out of the weighted sum — renormalisation over survivors;
+  * the dominant-source NaN-kill (mc_interp_kernel.cu:101-185): a corner
+    dies if the source indexed by ``zero_det`` is missing.  Decoding the
+    kernel's m/p side selection shows ``zero_det`` always names the
+    per-axis source with offset (0,0,0) — the corner's OWN voxel — which
+    is in the meshing batch by construction, so for consistent inputs the
+    kill is unreachable and the reference's effective behaviour IS the
+    renormalisation above.  We reproduce the rule faithfully anyway
+    (``frontier_kill=True``, the default): rows whose own voxel is absent
+    from indexer/batch_map emit nothing, exactly as every corner of every
+    cell of such a row would be NaN-killed in the CUDA kernel.  What
+    actually stops the reference's mesh extruding into unobserved space is
+    batch membership: unobserved voxels are never allocated, so no cells
+    are generated there at all — identical here;
   * triangles whose any vertex-interpolated std exceeds ``max_std`` are
     pruned (mc_interp_kernel.cu:297-318).
 
@@ -118,23 +131,35 @@ def _corner_field(indexer, batch_map, positions_b, cube_sdf, cube_std,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("n_xyz", "r", "latent_capacity", "budget", "voxel_size"))
+    static_argnames=("n_xyz", "r", "latent_capacity", "budget", "voxel_size",
+                     "frontier_kill"))
 def marching_cubes_sparse(indexer, batch_map, positions_b, batch_valid,
                           cube_sdf, cube_std,
                           n_xyz, voxel_size, bound_min,
                           r: int, latent_capacity: int,
-                          max_std: float, budget: int) -> MCResult:
+                          max_std: float, budget: int,
+                          frontier_kill: bool = True) -> MCResult:
     """Extract triangles for a batch of voxels.
 
     :param indexer: (n_voxels,) flat id -> slot.
     :param batch_map: (C,) slot -> batch row | -1.
-    :param positions_b: (B,) flat voxel id per batch row.
+    :param positions_b: (B,) flat voxel ids of the meshing batch.
     :param batch_valid: (B,) bool (padding rows off).
     :param cube_sdf/cube_std: (B, 2r, 2r, 2r) decoder samples.
     :param max_std: vertex std pruning threshold (traced).
     :param budget: max triangles returned (static).
+    :param frontier_kill: reproduce the reference's dominant-source NaN-kill
+        (mc_interp_kernel.cu:101-185).  The dominant (``zero_det``) source of
+        every corner is its own voxel (see module docstring), so the rule
+        reduces to: a row whose own voxel is missing from indexer/batch_map
+        emits no triangles.  False keeps the pure-renormalisation behaviour.
     """
     B = cube_sdf.shape[0]
+    if frontier_kill:
+        own_slot = indexer[positions_b]
+        own_row = batch_map[jnp.clip(own_slot, 0, latent_capacity - 1)]
+        own_ok = (own_slot >= 0) & (own_slot < latent_capacity) & (own_row >= 0)
+        batch_valid = batch_valid & own_ok
     sdf, std = _corner_field(indexer, batch_map, positions_b, cube_sdf, cube_std,
                              n_xyz, r, latent_capacity)
 
