@@ -63,18 +63,35 @@ def main():
     dt = time.perf_counter() - t0
 
     fps = N_BENCH / dt
-    # quality guard on stderr (the one JSON line on stdout stays the contract)
+    # Quality gates: a tracking regression or a pathological box-filter
+    # drop rate must NOT ship a green bench (rc != 0 on violation).
+    import jax
     from nerf_fusion_tpu.utils.evaluate import ate_rmse
     traj = pipe.trajectory()
     gts = [f.gt_pose for f in frames[:len(traj)]]
-    print(f"ate_rmse={ate_rmse(traj, gts):.5f} m over {len(traj)} frames",
-          file=sys.stderr)
+    ate = ate_rmse(traj, gts)
+    drops = jax.device_get(pipe.tracker.drop_fracs)
+    drop_max = float(max(drops)) if drops else 0.0
+    ATE_GATE = float(os.environ.get("BENCH_ATE_GATE", 0.02))   # m (tracked)
+    DROP_GATE = 0.05
+    print(f"ate_rmse={ate:.5f} m over {len(traj)} frames; "
+          f"box-filter drop max={drop_max:.4f}", file=sys.stderr)
     print(json.dumps({
         "metric": "online_fusion_fps_640x480",
         "value": round(fps, 3),
         "unit": "frames/sec",
         "vs_baseline": round(fps / 10.0, 3),
+        "ate_rmse_m": round(float(ate), 5),
+        "box_filter_drop_max": round(drop_max, 5),
     }))
+    if ate > ATE_GATE:
+        print(f"FAIL: ate_rmse {ate:.5f} m exceeds gate {ATE_GATE}",
+              file=sys.stderr)
+        sys.exit(2)
+    if drop_max > DROP_GATE:
+        print(f"FAIL: box-filter drop {drop_max:.4f} exceeds gate {DROP_GATE}",
+              file=sys.stderr)
+        sys.exit(3)
 
 
 if __name__ == "__main__":

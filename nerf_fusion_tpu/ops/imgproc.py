@@ -248,7 +248,7 @@ def radius_outlier_mask_exact(points: "np.ndarray", nb_points: int = 16,
 
 def box_filter_points(pts: jnp.ndarray, normals: jnp.ndarray, valid: jnp.ndarray,
                       voxel_size: float, capacity: int,
-                      extent: float = 8.0, table_bits: int = 17,
+                      extent: float = 8.0, table_bits: int = 20,
                       colors: jnp.ndarray = None):
     """Voxel-grid mean downsample into a fixed ``capacity`` buffer.
 
@@ -259,10 +259,15 @@ def box_filter_points(pts: jnp.ndarray, normals: jnp.ndarray, valid: jnp.ndarray
     Sort-free: cells hash into a 2^table_bits table with a scatter-max
     ownership pass; points whose cell lost its slot to a hash collision are
     DROPPED (not merged — merging would fabricate midpoints between distant
-    surfaces).  With 2^19 slots vs ~5e4 occupied cells the loss is <5% of
-    cells, spatially unbiased.  (A sort-based exact unique costs ~9 ms per
-    frame on TPU — half of the whole preprocessing pass.)
-    :return: (pts (capacity,3), normals (capacity,3), mask (capacity,)).
+    surfaces).  With 2^20 slots vs the <=7.7e4 occupied cells of a 640x480
+    half-res frame, expected birthday collisions are ~2.8k cells (<4% of
+    points), spatially unbiased.  (A sort-based exact unique costs ~9 ms
+    per frame on TPU — half of the whole preprocessing pass.)  The actual
+    drop rate is measured and returned so pathological frames are visible
+    (consumers surface it in stats and the bench gates on it).
+    :return: (pts (capacity,3), normals (capacity,3), [colors (capacity,3),]
+        mask (capacity,), drop_frac () — fraction of valid input points
+        lost to hash collisions).
     """
     TBL = 1 << table_bits
     n_cells = int(2 * extent / voxel_size)
@@ -295,11 +300,14 @@ def box_filter_points(pts: jnp.ndarray, normals: jnp.ndarray, valid: jnp.ndarray
     nn = jnp.sqrt(jnp.maximum(jnp.sum(out_n * out_n, -1, keepdims=True), 1e-24))
     out_n = out_n / nn
     mask = jnp.arange(capacity) < jnp.minimum(n_occ, capacity)
+    n_inb = jnp.sum(inb.astype(jnp.float32))
+    n_kept = jnp.sum(mine.astype(jnp.float32))
+    drop_frac = (n_inb - n_kept) / jnp.maximum(n_inb, 1.0)
     if colors is None:
-        return out_p, out_n, mask
+        return out_p, out_n, mask, drop_frac
     out_c = jnp.zeros((capacity + 1, 3)).at[dest].set(
         rgbsum / c, mode="drop")[:capacity]
-    return out_p, out_n, out_c, mask
+    return out_p, out_n, out_c, mask, drop_frac
 
 
 def rgb_odometry(prev_intensity, prev_depth, cur_intensity, cur_depth,

@@ -32,6 +32,8 @@ class Preprocessed(NamedTuple):
     colors: jnp.ndarray    # (M, 3) mean rgb per box cell (tracker.py:118
                            # last_colored_pcd parity, for texture export)
     mask: jnp.ndarray      # (M,) bool
+    drop_frac: jnp.ndarray # () fraction of points lost to box-filter hash
+                           # collisions (quality signal; bench gates on it)
 
 
 @functools.partial(jax.jit, static_argnames=("point_budget", "subsample"))
@@ -94,7 +96,7 @@ def preprocess_frame(rgb, depth, fx, fy, cx, cy,
     else:
         rgb_pc = rgb[::4, ::4]
     flat_c = rgb_pc.reshape(-1, 3)
-    bp, bn, bc, bm = imgproc.box_filter_points(
+    bp, bn, bc, bm, drop = imgproc.box_filter_points(
         flat_p, flat_n, flat_v, voxel_size=0.02, capacity=point_budget,
         colors=flat_c)
-    return Preprocessed(pyr, bp, bn, bc, bm)
+    return Preprocessed(pyr, bp, bn, bc, bm, drop)

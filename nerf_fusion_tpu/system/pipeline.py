@@ -85,6 +85,16 @@ class FusionPipeline:
                                 max_std=getattr(self.args, "max_std", 0.15))
         poses = self.trajectory()
         results = {"n_frames": n, "timing": self.timer.summary()}
+        if self.tracker.drop_fracs:
+            import jax
+            drops = np.asarray(jax.device_get(self.tracker.drop_fracs))
+            results["box_filter_drop_frac"] = {
+                "mean": float(drops.mean()), "max": float(drops.max())}
+            if drops.max() > 0.05:
+                logging.warning(
+                    "box-filter hash-collision drop rate peaked at %.1f%% "
+                    "(>5%%): raise imgproc.box_filter_points table_bits",
+                    100 * drops.max())
         if sequence.gt_trajectory is not None and not use_gt_pose:
             results["ate_rmse"] = ate_rmse(poses, sequence.gt_trajectory[:n])
         if output_dir is not None:

@@ -377,6 +377,7 @@ class SDFTracker:
         self.last_processed_pc = None  # device (points, normals, mask)
         self.last_colored_pcd = None   # device (points, rgb, mask)
         self.last_iters = None
+        self.drop_fracs = []           # device scalars; fetch in one batch
 
     def preprocess(self, rgb, depth, calib, depth_cut=(0.5, 5.0)):
         return preprocess_frame(jnp.asarray(rgb, jnp.float32),
@@ -391,6 +392,7 @@ class SDFTracker:
         for host Isometries."""
         pre = self.preprocess(rgb, depth, calib, depth_cut)
         self.last_processed_pc = (pre.points, pre.normals, pre.mask)
+        self.drop_fracs.append(pre.drop_frac)
         # colored cloud for texture storage/extraction (tracker.py:118)
         self.last_colored_pcd = (pre.points, pre.colors, pre.mask)
 
