@@ -248,12 +248,17 @@ class SparseVoxelMap:
     lock/snapshot machinery — old states are immutable snapshots.
     """
 
-    def __init__(self, model, args, latent_dim: int, enable_async: bool = False):
+    def __init__(self, model, args, latent_dim: int, enable_async: bool = False,
+                 aux_device=None):
+        """``aux_device``: optional second jax device for background latent
+        refinement (the reference's aux-GPU plan, main.py:124-132)."""
         self.model = model
         self.cfg = MapConfig.from_args(args, latent_dim)
         self.args = args
         self.state = init_state(self.cfg)
         self.enable_async = enable_async
+        self.aux_device = aux_device
+        self.main_device = None   # device of the fusion state (None = default)
         self.updated_slots = np.zeros((self.cfg.latent_capacity,), bool)
         self._updated_dev = None     # device-side accumulator (sync-free path)
         self.mesher = None  # attached lazily by system.mesher
@@ -295,7 +300,7 @@ class SparseVoxelMap:
         # Fold in a finished async refinement (de-integration merge,
         # reference map.py:361-364).
         if self.refiner is not None:
-            res = self.refiner.collect()
+            res = self.refiner.collect(device=self.main_device)
             if res is not None:
                 self.state = merge_refined(self.state, res, deintegrate=True)
                 self.updated_slots |= np.asarray(res.refined)
@@ -319,7 +324,7 @@ class SparseVoxelMap:
             self._refine_rng, sub = jax.random.split(self._refine_rng)
             if async_optimize:
                 if self.refiner is None:
-                    self.refiner = AsyncRefiner()
+                    self.refiner = AsyncRefiner(device=self.aux_device)
                 if not self.refiner.busy():
                     self.refiner.dispatch(
                         self.state, self.cfg, self.model.decoder_params,

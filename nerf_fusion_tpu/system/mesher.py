@@ -127,10 +127,16 @@ class Mesher:
     """Owns the incremental triangle cache for one map."""
 
     def __init__(self, vmap: SparseVoxelMap, max_n_triangles: int = 1 << 17,
-                 reeval_fraction: float = 0.25):
+                 reeval_fraction: float = 0.25, device=None):
+        """``device``: optional second jax device; decode + marching cubes
+        then run there on a snapshot copied over ICI, overlapping the
+        fusion/tracking programs on the main device (the reference's
+        aux-GPU / dedicated-CUDA-stream meshing, map.py:222-226,717-721)."""
         self.map = vmap
         self.budget = int(max_n_triangles)
         self.reeval_fraction = reeval_fraction
+        self.device = device
+        self._dec_params_aux = None
         self.vertices = np.zeros((0, 3, 3), np.float32)
         self.vertices_std = np.zeros((0, 3), np.float32)
         self.vertices_flatten_id = np.zeros((0,), np.int64)
@@ -230,6 +236,17 @@ class Mesher:
         B = MESH_CHUNK
         reeval_budget = max(1024, int(B * (2 * r) ** 3 * self.reeval_fraction))
 
+        # Aux-device placement: snapshot the latents/indexer onto the mesh
+        # device (D2D over ICI) so decode+MC overlap the fusion device.
+        dec_params = vmap.model.decoder_params
+        lat_src, idx_src = state.latents, state.indexer
+        if self.device is not None:
+            if self._dec_params_aux is None:
+                self._dec_params_aux = jax.device_put(dec_params, self.device)
+            dec_params = self._dec_params_aux
+            lat_src, idx_src = jax.device_put((state.latents, state.indexer),
+                                              self.device)
+
         # Phase 1a: decode every voxel's sample cube in fixed-size chunks
         # (one compiled decode program regardless of batch size).
         n_chunks = -(-B_real // B)
@@ -240,9 +257,9 @@ class Mesher:
         ids_pad[:B_real] = mesh_ids
         for s in range(0, n_chunks * B, B):
             valid_b = jnp.asarray(np.arange(s, s + B) < B_real)
-            latents_b = state.latents[jnp.asarray(slots_pad[s:s + B])]
+            latents_b = lat_src[jnp.asarray(slots_pad[s:s + B])]
             csdf, cstd = _decode_cubes(
-                vmap.model.decoder_params, vmap.model.decoder_config,
+                dec_params, vmap.model.decoder_config,
                 latents_b, valid_b, r, fast, reeval_budget)
             cube_sdf_chunks.append(csdf)
             cube_std_chunks.append(cstd)
@@ -266,7 +283,7 @@ class Mesher:
         batch_map[slots] = np.arange(B_real, dtype=np.int32)
 
         pending = [marching_cubes_sparse(
-            state.indexer, jnp.asarray(batch_map),
+            idx_src, jnp.asarray(batch_map),
             jnp.asarray(ids_b, jnp.int32),
             jnp.asarray(valid_bt), cube_sdf, cube_std,
             cfg.n_xyz, cfg.voxel_size,

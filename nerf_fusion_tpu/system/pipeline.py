@@ -24,14 +24,24 @@ from .tracker import SDFTracker
 
 class FusionPipeline:
     def __init__(self, model, args, point_budget: int = None):
+        import jax
+
         map_args = args.mapping
         latent_dim = args.model.code_length
         self.args = args
-        self.map = SparseVoxelMap(model, map_args, latent_dim)
+        # Two-device plan (reference main.py:124-132): tracking+fusion on
+        # device 0; background refinement and meshing on device 1 when one
+        # exists (aux work overlaps via ICI-copied snapshots).  Disable with
+        # config `single_device: true`.
+        devs = jax.devices()
+        aux = (devs[1] if len(devs) > 1
+               and not bool(getattr(args, "single_device", False)) else None)
+        self.aux_device = aux
+        self.map = SparseVoxelMap(model, map_args, latent_dim, aux_device=aux)
         # Triangle budget: reference main.py:93 drives int(4e6); configs may
         # override via max_n_triangles.
         self.mesher = Mesher(self.map, max_n_triangles=int(
-            getattr(args, "max_n_triangles", 4e6)))
+            getattr(args, "max_n_triangles", 4e6)), device=aux)
         budget = point_budget or int(getattr(map_args, "points_capacity", 16384))
         self.tracker = SDFTracker(self.map, args.tracking, point_budget=budget)
         self.timer = StageTimer()

@@ -123,24 +123,47 @@ def merge_refined(state: MapState, res: RefineResult,
 
 
 class AsyncRefiner:
-    """Single-outstanding-job async wrapper (replaces OptimizeProcess)."""
+    """Single-outstanding-job async wrapper (replaces OptimizeProcess).
 
-    def __init__(self):
+    With ``device`` set, reproduces the reference's aux-GPU placement
+    (main.py:124-132, system/map.py:222-226): the state snapshot, decoder
+    params and frame points are ``device_put`` onto the aux device, the
+    whole Adam program runs there (overlapping tracking/fusion on device
+    0), and the result transfers back at collect time — explicit
+    device-to-device copies over ICI instead of the reference's mp.Queue
+    tensor shipping.
+    """
+
+    def __init__(self, device=None):
         self.pool = ThreadPoolExecutor(max_workers=1)
         self.future = None
+        self.device = device
+        self._dec_params_aux = None   # decoder weights cached on aux device
 
     def busy(self) -> bool:
         return self.future is not None and not self.future.done()
 
-    def dispatch(self, *args, **kwargs):
+    def dispatch(self, state, cfg, dec_params, dec_cfg,
+                 points, normals, valid, rng, **kwargs):
         assert not self.busy()
+        if self.device is not None:
+            if self._dec_params_aux is None:
+                self._dec_params_aux = jax.device_put(dec_params, self.device)
+            dec_params = self._dec_params_aux
+            state, points, normals, valid, rng = jax.device_put(
+                (state, points, normals, valid, rng), self.device)
         self.future = self.pool.submit(
-            lambda: jax.block_until_ready(refine_latents(*args, **kwargs)))
+            lambda: jax.block_until_ready(refine_latents(
+                state, cfg, dec_params, dec_cfg,
+                points, normals, valid, rng, **kwargs)))
 
-    def collect(self):
-        """Return the finished RefineResult, or None."""
+    def collect(self, device=None):
+        """Return the finished RefineResult (moved to ``device``), or None."""
         if self.future is not None and self.future.done():
             res = self.future.result()
             self.future = None
+            if self.device is not None:
+                # D2D copy back to the fusion device (ICI on TPU slices).
+                res = jax.device_put(res, device or jax.devices()[0])
             return res
         return None
