@@ -24,7 +24,14 @@ def build_sequence(args):
     seq_package, seq_class = args.sequence_type.split(".")
     module = importlib.import_module("nerf_fusion_tpu.data." + seq_package)
     cls = getattr(module, seq_class)
-    return cls(load_gt=True, **args.sequence_kwargs)
+    seq = cls(load_gt=True, **args.sequence_kwargs)
+    # Disk-backed readers get a decode read-ahead thread pool (the hot loop
+    # otherwise blocks ~5-15 ms/frame on serial PNG decode); in-memory /
+    # device-resident sequences don't need one.
+    if getattr(args, "prefetch", True) and hasattr(seq, "load_frame"):
+        from nerf_fusion_tpu.data.prefetch import PrefetchSequence
+        seq = PrefetchSequence(seq, depth=4, workers=2)
+    return seq
 
 
 def main(argv=None):

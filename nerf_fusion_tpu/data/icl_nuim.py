@@ -75,23 +75,29 @@ class ICLNUIMSequence(RGBDSequence):
     def __len__(self):
         return len(self.color_names)
 
-    def __next__(self) -> FrameData:
-        if self.frame_id >= len(self):
-            raise StopIteration
+    def load_frame(self, idx: int) -> FrameData:
+        """Random-access decode (thread-safe: no reader state touched), so
+        a PrefetchSequence can parallelise PNG decoding across threads."""
         import cv2
 
-        depth = cv2.imread(str(self.path / self.depth_names[self.frame_id]),
+        depth = cv2.imread(str(self.path / self.depth_names[idx]),
                            cv2.IMREAD_UNCHANGED)
         depth = depth.astype(np.float32) / self.CALIB[4]
         depth[depth == 0] = np.nan
-        rgb = cv2.imread(str(self.path / self.color_names[self.frame_id]))
+        rgb = cv2.imread(str(self.path / self.color_names[idx]))
         rgb = cv2.cvtColor(rgb, cv2.COLOR_BGR2RGB).astype(np.float32) / 255.0
 
         frame = FrameData()
-        frame.gt_pose = (self.gt_trajectory[self.frame_id]
+        frame.gt_pose = (self.gt_trajectory[idx]
                          if self.gt_trajectory is not None else None)
         frame.calib = FrameIntrinsic(*self.CALIB)
         frame.depth = depth
         frame.rgb = rgb
+        return frame
+
+    def __next__(self) -> FrameData:
+        if self.frame_id >= len(self):
+            raise StopIteration
+        frame = self.load_frame(self.frame_id)
         self.frame_id += 1
         return frame

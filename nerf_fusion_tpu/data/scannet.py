@@ -54,12 +54,11 @@ class ScanNetSequence(RGBDSequence):
     def __len__(self):
         return len(self.ids)
 
-    def __next__(self) -> FrameData:
-        if self.frame_id >= len(self):
-            raise StopIteration
+    def load_frame(self, idx: int) -> FrameData:
+        """Random-access decode (thread-safe) for PrefetchSequence."""
         import cv2
 
-        i = self.ids[self.frame_id]
+        i = self.ids[idx]
         depth = cv2.imread(str(self.path / "depth" / f"{i}.png"),
                            cv2.IMREAD_UNCHANGED).astype(np.float32) / self.depth_scale
         depth[depth == 0] = np.nan
@@ -72,10 +71,16 @@ class ScanNetSequence(RGBDSequence):
                              interpolation=cv2.INTER_AREA)
 
         frame = FrameData()
-        frame.gt_pose = (self.gt_trajectory[self.frame_id]
+        frame.gt_pose = (self.gt_trajectory[idx]
                          if self.gt_trajectory is not None else None)
         frame.calib = self.calib
         frame.depth = depth
         frame.rgb = rgb
+        return frame
+
+    def __next__(self) -> FrameData:
+        if self.frame_id >= len(self):
+            raise StopIteration
+        frame = self.load_frame(self.frame_id)
         self.frame_id += 1
         return frame
