@@ -58,6 +58,65 @@ class MCResult(NamedTuple):
     flatten_id: jnp.ndarray     # (budget,) owning voxel flat id
     valid: jnp.ndarray          # (budget,) bool
     n_triangles: jnp.ndarray    # () int32 (pre-clamp count)
+    cells_dropped: jnp.ndarray  # () bool: active-cell budget overflowed
+
+
+_HI = jax.lax.Precision.HIGHEST
+
+
+@functools.lru_cache(maxsize=None)
+def _corner_blend_mats(r: int):
+    """Constant blend matrices for the cross-voxel corner interpolation.
+
+    The 8 per-corner sources of the CUDA kernel (mc_interp_kernel.cu:96-185)
+    regroup by *neighbour offset*: each source of corner ``p`` reads a fixed
+    sample index of the voxel at a fixed offset ``d`` in {-1,0,1}^3 with a
+    fixed weight.  Folding (sample index, weight) into one ``(2r)^3 ->
+    (r+1)^3`` matrix per offset turns the whole blend into D constant
+    matmuls (MXU work) over per-offset neighbour row-gathers — instead of
+    8 x B x (r+1)^3 random scalar gathers, which run on the TPU scalar unit
+    (~100 us/voxel measured at r=4).
+
+    :return: (offsets (D,3) int, mats (D, (2r)^3, (r+1)^3) f32,
+              colsum (D, (r+1)^3) f32).
+    """
+    rp = np.arange(r + 1)
+    rpx, rpy, rpz = np.meshgrid(rp, rp, rp, indexing="ij")
+    rpos = np.stack([rpx, rpy, rpz], -1).reshape(-1, 3)               # (P,3)
+    P = rpos.shape[0]
+    rbound = (r - 1) // 2
+    rstart = r // 2
+    rmid = r / 2.0
+    lower = rpos <= rbound
+    off_m = np.where(lower, -1, 0)
+    off_p = np.where(lower, 0, 1)
+    idx_m = np.where(lower, rpos + r + rstart, rpos + rstart)
+    idx_p = np.where(lower, rpos + rstart, rpos + rstart - r)
+    w_m = np.where(lower, rmid - rpos, rmid + r - rpos) / r
+    w_p = np.where(lower, rpos + rmid, rpos - rmid) / r
+    n = 2 * r
+    mats = {}
+    for sx in (0, 1):
+        for sy in (0, 1):
+            for sz in (0, 1):
+                sel = (sx, sy, sz)
+                off = np.stack([(off_p if s else off_m)[:, a]
+                                for a, s in enumerate(sel)], -1)      # (P,3)
+                idx = np.stack([(idx_p if s else idx_m)[:, a]
+                                for a, s in enumerate(sel)], -1)
+                w = ((w_p if sx else w_m)[:, 0]
+                     * (w_p if sy else w_m)[:, 1]
+                     * (w_p if sz else w_m)[:, 2])
+                flat = (idx[:, 0] * n + idx[:, 1]) * n + idx[:, 2]
+                for p in range(P):
+                    d = tuple(int(x) for x in off[p])
+                    if d not in mats:
+                        mats[d] = np.zeros((n ** 3, P), np.float32)
+                    mats[d][flat[p], p] += w[p]
+    offsets = sorted(mats)
+    M = np.stack([mats[d] for d in offsets])
+    return (np.asarray(offsets, np.int32), M,
+            M.sum(axis=1).astype(np.float32))
 
 
 def _corner_field(indexer, batch_map, positions_b, cube_sdf, cube_std,
@@ -69,64 +128,60 @@ def _corner_field(indexer, batch_map, positions_b, cube_sdf, cube_std,
     :return: sdf, std (B, r+1, r+1, r+1).
     """
     B = cube_sdf.shape[0]
+    S = (2 * r) ** 3
     n_xyz_arr = jnp.asarray(n_xyz, jnp.int32)
     vox_xyz = vox.unlinearize_id(positions_b, n_xyz)                 # (B,3)
+    offsets, mats, colsums = _corner_blend_mats(r)
 
-    rp = np.arange(r + 1)
-    rpx, rpy, rpz = np.meshgrid(rp, rp, rp, indexing="ij")
-    rpos = jnp.asarray(np.stack([rpx, rpy, rpz], -1).reshape(-1, 3), jnp.int32)  # (P,3)
-    P = rpos.shape[0]
-    rbound = (r - 1) // 2
-    rstart = r // 2
-    rmid = r / 2.0
+    # Stacked source planes so each neighbour costs ONE row gather:
+    # plane 0 = sdf*std (the std-weighted numerator), plane 1 = std.
+    planes = jnp.stack([(cube_sdf * cube_std).reshape(B, S),
+                        cube_std.reshape(B, S)], axis=-1)            # (B,S,2)
 
-    lower = rpos <= rbound                                            # (P,3)
-    rposf = rpos.astype(jnp.float32)
-    # Per-axis source descriptors for the m/p sides (offset, sample idx, weight).
-    off_m = jnp.where(lower, -1, 0)                                   # (P,3)
-    off_p = jnp.where(lower, 0, 1)
-    idx_m = jnp.where(lower, rpos + r + rstart, rpos + rstart)
-    idx_p = jnp.where(lower, rpos + rstart, rpos + rstart - r)
-    w_m = jnp.where(lower, rmid - rposf, rmid + r - rposf) / r
-    w_p = jnp.where(lower, rposf + rmid, rposf - rmid) / r
+    num_sdf = jnp.zeros((B, colsums.shape[1]))
+    den_sdf = jnp.zeros((B, colsums.shape[1]))
+    den_std = jnp.zeros((B, colsums.shape[1]))
+    for di in range(len(offsets)):
+        src_xyz = vox_xyz + jnp.asarray(offsets[di])[None, :]        # (B,3)
+        inb = jnp.all((src_xyz >= 0) & (src_xyz < n_xyz_arr), axis=-1)
+        gid = vox.linearize_id(jnp.clip(src_xyz, 0, n_xyz_arr - 1), n_xyz)
+        slot = indexer[gid]
+        row = batch_map[jnp.clip(slot, 0, latent_capacity - 1)]
+        ok = inb & (slot >= 0) & (row >= 0)                           # (B,)
+        g = planes[jnp.clip(row, 0, B - 1)]                           # (B,S,2)
+        Md = jnp.asarray(mats[di])
+        okf = ok.astype(jnp.float32)[:, None]
+        num_sdf += jnp.matmul(g[..., 0], Md, precision=_HI) * okf
+        den_sdf += jnp.matmul(g[..., 1], Md, precision=_HI) * okf
+        den_std += okf * jnp.asarray(colsums[di])[None, :]
 
-    num_sdf = jnp.zeros((B, P))
-    den_sdf = jnp.zeros((B, P))
-    num_std = jnp.zeros((B, P))
-    den_std = jnp.zeros((B, P))
-
-    for sx in (0, 1):
-        for sy in (0, 1):
-            for sz in (0, 1):
-                sel = (sx, sy, sz)
-                off = jnp.stack([(off_p if s else off_m)[:, a]
-                                 for a, s in enumerate(sel)], axis=-1)   # (P,3)
-                idx = jnp.stack([(idx_p if s else idx_m)[:, a]
-                                 for a, s in enumerate(sel)], axis=-1)   # (P,3)
-                w = ((w_p if sx else w_m)[:, 0]
-                     * (w_p if sy else w_m)[:, 1]
-                     * (w_p if sz else w_m)[:, 2])                       # (P,)
-                src_xyz = vox_xyz[:, None, :] + off[None, :, :]          # (B,P,3)
-                inb = jnp.all((src_xyz >= 0) & (src_xyz < n_xyz_arr), axis=-1)
-                src_gid = vox.linearize_id(
-                    jnp.clip(src_xyz, 0, n_xyz_arr - 1), n_xyz)          # (B,P)
-                slot = indexer[src_gid]
-                slot_c = jnp.clip(slot, 0, latent_capacity - 1)
-                src_b = batch_map[slot_c]
-                ok = inb & (slot >= 0) & (src_b >= 0)
-                src_bc = jnp.clip(src_b, 0, B - 1)
-                s_val = cube_sdf[src_bc, idx[None, :, 0], idx[None, :, 1], idx[None, :, 2]]
-                s_std = cube_std[src_bc, idx[None, :, 0], idx[None, :, 1], idx[None, :, 2]]
-                wm = jnp.where(ok, w[None, :], 0.0)
-                num_sdf += s_val * s_std * wm
-                den_sdf += s_std * wm
-                num_std += s_std * wm
-                den_std += wm
-
+    # num_std == den_sdf (both accumulate w*std), so std = den_sdf/den_std.
     sdf = num_sdf / jnp.maximum(den_sdf, 1e-12)
-    std = num_std / jnp.maximum(den_std, 1e-12)
+    std = den_sdf / jnp.maximum(den_std, 1e-12)
     shape = (B, r + 1, r + 1, r + 1)
     return sdf.reshape(shape), std.reshape(shape)
+
+
+@functools.lru_cache(maxsize=None)
+def _tri_select_consts():
+    """One-hot table constants: config -> (edge-selection, existence).
+
+    SEL[c, ((t*3)+k)*12 + e] = 1 iff triangle t corner k of config c uses
+    edge e; EX[c, t] = 1 iff triangle t exists.  Turns the data-dependent
+    table + edge gathers into two exact 0/1 matmuls.
+    """
+    T = MAX_TRIS_PER_CELL
+    SEL = np.zeros((256, T * 3 * 12), np.float32)
+    EX = np.zeros((256, T), np.float32)
+    for c in range(256):
+        row = TRI_TABLE[c]
+        for t in range(T):
+            if row[3 * t] < 0:
+                break
+            EX[c, t] = 1.0
+            for k in range(3):
+                SEL[c, (t * 3 + k) * 12 + int(row[3 * t + k])] = 1.0
+    return SEL, EX
 
 
 @functools.partial(
@@ -198,25 +253,41 @@ def marching_cubes_sparse(indexer, batch_map, positions_b, batch_valid,
     edge_world = (cell_origin[:, :, None, :] + edge_pos / r) * voxel_size \
         + bound_min[None, None, None, :]                               # (B,Q,12,3)
 
-    # Triangles via the generated table.
-    tri_tab = jnp.asarray(TRI_TABLE)                                   # (256, 3*max)
-    tri_edges = tri_tab[config].reshape(B, Q, MAX_TRIS_PER_CELL, 3)    # (B,Q,T,3)
-    tri_ok = tri_edges[..., 0] >= 0
-    te = jnp.clip(tri_edges, 0, 11)
-    # Gather vertex positions/stds per triangle corner.
-    bq_idx = jnp.arange(B)[:, None, None, None], jnp.arange(Q)[None, :, None, None]
-    verts = edge_world[bq_idx[0], bq_idx[1], te]                       # (B,Q,T,3,3)
-    vstd = edge_std[bq_idx[0], bq_idx[1], te]                          # (B,Q,T,3)
+    # Compact ACTIVE cells (config not 0/255) before any data-dependent
+    # lookups: typically only ~r^2 of the r^3 cells of a surface voxel cut
+    # the surface, and TPU random gathers are scalar-unit work — shrinking
+    # the domain 5-20x dominates everything downstream.
+    T = MAX_TRIS_PER_CELL
+    NC = min(B * Q, max(4096, B * 4 * r))
+    active = batch_valid[:, None] & (config > 0) & (config < 255)      # (B,Q)
+    flat_active = active.reshape(-1)
+    cell_idx, cell_ok, _ = vox.compact_by_mask(
+        jnp.arange(B * Q, dtype=jnp.int32), flat_active, NC)
+    cells_dropped = jnp.sum(flat_active).astype(jnp.int32) > NC
+    ew = edge_world.reshape(B * Q, 12 * 3)[cell_idx].reshape(NC, 12, 3)
+    es = edge_std.reshape(B * Q, 12)[cell_idx]                         # (NC,12)
+    cfg_c = config.reshape(-1)[cell_idx]                               # (NC,)
+    fid_c = positions_b[cell_idx // Q]                                 # (NC,)
 
-    tri_valid = tri_ok & batch_valid[:, None, None] \
-        & (jnp.max(vstd, axis=-1) <= max_std)
+    # Table + edge selection as exact one-hot matmuls (constant 0/1
+    # matrices): the classic per-cell gather chain config -> tri rows ->
+    # edge vertices becomes MXU work.
+    SEL, EX = _tri_select_consts()
+    onehot = (cfg_c[:, None] == jnp.arange(256, dtype=cfg_c.dtype)
+              ).astype(jnp.float32)                                    # (NC,256)
+    tri_sel = jnp.matmul(onehot, jnp.asarray(SEL),
+                         precision=_HI).reshape(NC, T, 3, 12)
+    verts = jnp.einsum("ntke,ned->ntkd", tri_sel, ew, precision=_HI)   # (NC,T,3,3)
+    vstd = jnp.einsum("ntke,ne->ntk", tri_sel, es, precision=_HI)      # (NC,T,3)
+    tri_ok = jnp.matmul(onehot, jnp.asarray(EX), precision=_HI) > 0.5  # (NC,T)
+
+    tri_valid = tri_ok & cell_ok[:, None] & (jnp.max(vstd, axis=-1) <= max_std)
 
     # Prefix-sum compaction into the fixed budget.
     flat_valid = tri_valid.reshape(-1)
     flat_verts = verts.reshape(-1, 3, 3)
     flat_std = vstd.reshape(-1, 3)
-    flat_fid = jnp.broadcast_to(positions_b[:, None, None],
-                                (B, Q, MAX_TRIS_PER_CELL)).reshape(-1)
+    flat_fid = jnp.broadcast_to(fid_c[:, None], (NC, T)).reshape(-1)
     n_tri = jnp.sum(flat_valid).astype(jnp.int32)
     rank = jnp.cumsum(flat_valid) - 1
     dest = jnp.where(flat_valid & (rank < budget), rank, budget)
@@ -226,7 +297,7 @@ def marching_cubes_sparse(indexer, batch_map, positions_b, batch_valid,
         flat_fid.astype(jnp.int32), mode="drop")
     valid = jnp.arange(budget) < n_tri
     return MCResult(out_verts[:budget], out_std[:budget], out_fid[:budget],
-                    valid, n_tri)
+                    valid, n_tri, cells_dropped)
 
 
 def dense_marching_cubes(field: np.ndarray, origin=(0.0, 0.0, 0.0), spacing=1.0):

@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import functools
 import logging
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -48,6 +49,20 @@ def _bucket(n: int, lo: int = 64) -> int:
 MESH_CHUNK = 512
 
 
+class _Pending(NamedTuple):
+    """A dispatched-but-unfetched extraction.
+
+    Fused entries carry device arrays (``mesh_ids``+``keep``+overflow
+    flags); chunked entries carry a host ``mesh_ids`` array and ``None``
+    for the rest.
+    """
+    mesh_ids: object
+    keep: object
+    result: object
+    batch_ovf: object
+    map_ovf: object
+
+
 def _sample_offsets(r: int) -> np.ndarray:
     """Decoder-frame sample coords of the (2r)^3 margin lattice.
 
@@ -67,6 +82,69 @@ def _coarse_offsets(r: int) -> np.ndarray:
     ax = np.linspace(a, b, r)
     X, Y, Z = np.meshgrid(ax, ax, ax, indexing="ij")
     return np.stack([X, Y, Z], -1).reshape(-1, 3).astype(np.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "dec_cfg", "r", "fast",
+                                              "mesh_budget", "tri_budget",
+                                              "reeval_budget"))
+def fused_extract(state, updated_mask, cfg, dec_params, dec_cfg,
+                  r: int, fast: bool, mesh_budget: int, tri_budget: int,
+                  reeval_budget: int, max_std):
+    """The WHOLE incremental extraction as one device program.
+
+    Candidate selection (updated slots -> 6-neighbour expansion -> dedup ->
+    confidence filter, map.py:628-632), chunked decoder evaluation of the
+    sample cubes, and the global marching-cubes pass — fused so the frame
+    loop pays ONE dispatch per extraction and zero blocking transfers (the
+    chunked host-driven path costs a queue-draining device_get plus a
+    dispatch per 512-voxel chunk, ~1.4 s wall through a tunneled chip).
+
+    ``mesh_budget`` (static) caps the re-meshed voxel batch; the returned
+    ``batch_overflow`` flag tells the host the batch was truncated (it then
+    schedules a full re-mesh through the unbounded chunked path).
+
+    :return: (MCResult, mesh_ids (mesh_budget,), keep (mesh_budget,) bool,
+              batch_overflow (), map_overflow ()).
+    """
+    C = cfg.latent_capacity
+    upd = updated_mask & (state.positions >= 0)
+    ovf_upd = jnp.sum(upd).astype(jnp.int32) > mesh_budget
+    upd_ids, upd_valid, _ = voxops.compact_by_mask(state.positions, upd, mesh_budget)
+    exp_ids, exp_valid = voxops.expand_neighbors6(upd_ids, upd_valid, cfg.n_xyz)
+    uniq, uniq_valid, _, ovf_u = voxops.masked_unique(exp_ids, exp_valid, mesh_budget)
+    slots = state.indexer[jnp.clip(uniq, 0, cfg.n_voxels - 1)]
+    slot_c = jnp.clip(slots, 0, C - 1)
+    keep = uniq_valid & (slots >= 0) & \
+        (state.obs_count[slot_c] > cfg.ignore_count_th)
+    batch_map = jnp.full((C,), -1, jnp.int32).at[
+        jnp.where(keep, slot_c, C)].set(
+        jnp.arange(mesh_budget, dtype=jnp.int32), mode="drop")
+    lat_b = jnp.where(keep[:, None], state.latents[slot_c], 0.0)
+
+    n_chunks = mesh_budget // MESH_CHUNK
+    assert mesh_budget % MESH_CHUNK == 0, "mesh_budget must be a MESH_CHUNK multiple"
+    L = lat_b.shape[-1]
+
+    def chunk_body(_, inp):
+        lat_c, val_c = inp
+        csdf, cstd = _decode_cubes(dec_params, dec_cfg, lat_c, val_c,
+                                   r, fast, reeval_budget)
+        return 0, (csdf, cstd)
+
+    _, (sdf_ch, std_ch) = jax.lax.scan(
+        chunk_body, 0,
+        (lat_b.reshape(n_chunks, MESH_CHUNK, L),
+         keep.reshape(n_chunks, MESH_CHUNK)))
+    shape = (mesh_budget, 2 * r, 2 * r, 2 * r)
+    cube_sdf = sdf_ch.reshape(shape)
+    cube_std = std_ch.reshape(shape)
+
+    result = marching_cubes_sparse(
+        state.indexer, batch_map, uniq.astype(jnp.int32), keep,
+        cube_sdf, cube_std, cfg.n_xyz, cfg.voxel_size,
+        jnp.asarray(cfg.bound_min, jnp.float32),
+        r, C, max_std, tri_budget)
+    return result, uniq, keep, ovf_upd | ovf_u, state.overflow
 
 
 @functools.partial(jax.jit, static_argnames=("dec_cfg", "r", "fast", "reeval_budget"))
@@ -127,7 +205,8 @@ class Mesher:
     """Owns the incremental triangle cache for one map."""
 
     def __init__(self, vmap: SparseVoxelMap, max_n_triangles: int = 1 << 17,
-                 reeval_fraction: float = 0.25, device=None):
+                 reeval_fraction: float = 0.25, device=None,
+                 mesh_batch_budget: int = 4096):
         """``device``: optional second jax device; decode + marching cubes
         then run there on a snapshot copied over ICI, overlapping the
         fusion/tracking programs on the main device (the reference's
@@ -141,8 +220,14 @@ class Mesher:
         self.vertices_std = np.zeros((0, 3), np.float32)
         self.vertices_flatten_id = np.zeros((0,), np.int64)
         self._lock = __import__("threading").RLock()
-        self._pending = []   # dispatched-but-unfetched (mesh_ids, MCResult)
+        self._pending = []   # dispatched-but-unfetched _Pending entries
         self._thread = None
+        # Fused-path budgets: the incremental per-extraction voxel batch and
+        # its triangle buffer (the full ``budget`` applies to the cache).
+        self.mesh_budget = -(-int(mesh_batch_budget) // MESH_CHUNK) * MESH_CHUNK
+        self.fused_tri_budget = min(self.budget,
+                                    max(1 << 15, self.mesh_budget * 64))
+        self._need_full_remesh = False
         # Join any in-flight async extraction at interpreter exit: a daemon
         # thread mid-device-op during runtime teardown aborts the process.
         import atexit
@@ -194,6 +279,56 @@ class Mesher:
 
     def _extract_impl(self, voxel_resolution: int, max_std: float,
                       fast: bool, no_cache: bool, materialize: bool = True):
+        if self._need_full_remesh and not no_cache:
+            # A previous fused extraction truncated its batch; repair by
+            # re-meshing everything through the unbounded chunked path.
+            self._need_full_remesh = False
+            no_cache = True
+        if not no_cache:
+            self._dispatch_fused(voxel_resolution, max_std, fast)
+            if not materialize:
+                return None
+            self._drain_pending()
+            return self.current_mesh()
+        return self._extract_chunked(voxel_resolution, max_std, fast,
+                                     no_cache, materialize)
+
+    def _dispatch_fused(self, voxel_resolution: int, max_std: float,
+                        fast: bool):
+        """Incremental extraction: ONE device dispatch, zero host blocking."""
+        import jax
+
+        vmap = self.map
+        upd = vmap._updated_dev
+        if vmap.updated_slots.any():
+            h = jnp.asarray(vmap.updated_slots)
+            upd = h if upd is None else (upd | h)
+            vmap.updated_slots[:] = False
+        if upd is None:
+            return
+        vmap._updated_dev = None
+
+        state = vmap.state
+        dec_params = vmap.model.decoder_params
+        if self.device is not None:
+            if self._dec_params_aux is None:
+                self._dec_params_aux = jax.device_put(dec_params, self.device)
+            dec_params = self._dec_params_aux
+            state, upd = jax.device_put((state, upd), self.device)
+
+        r = int(voxel_resolution)
+        reeval_budget = max(1024, int(MESH_CHUNK * (2 * r) ** 3
+                                      * self.reeval_fraction))
+        result, ids, keep, batch_ovf, map_ovf = fused_extract(
+            state, upd, vmap.cfg, dec_params, vmap.model.decoder_config,
+            r, fast, self.mesh_budget, self.fused_tri_budget,
+            reeval_budget, float(max_std))
+        with self._lock:
+            self._pending.append(
+                _Pending(ids, keep, result, batch_ovf, map_ovf))
+
+    def _extract_chunked(self, voxel_resolution: int, max_std: float,
+                         fast: bool, no_cache: bool, materialize: bool = True):
         import jax
 
         vmap, cfg = self.map, self.map.cfg
@@ -301,7 +436,7 @@ class Mesher:
             jnp.asarray(cfg.bound_min, jnp.float32),
             r, cfg.latent_capacity, float(max_std), self.budget)
         with self._lock:
-            self._pending.append((mesh_ids, result))
+            self._pending.append(_Pending(mesh_ids, None, result, None, None))
         if not materialize:
             return None
         self._drain_pending()
@@ -310,9 +445,9 @@ class Mesher:
     def _drain_pending(self):
         """Materialise all dispatched extractions into the host cache.
 
-        Exactly TWO batched D2H calls — one for the counts, one for all
-        (bucket-sliced) triangle buffers.  Slice sizes round up to
-        4096-triangle buckets so at most budget/4096 distinct slice
+        Exactly TWO batched D2H calls — one for the counts/flags/id lists,
+        one for all (bucket-sliced) triangle buffers.  Slice sizes round up
+        to 4096-triangle buckets so at most budget/4096 distinct slice
         programs ever compile.
         """
         import jax
@@ -321,23 +456,49 @@ class Mesher:
             pending, self._pending = self._pending, []
         if not pending:
             return
-        counts = jax.device_get([res.n_triangles for _, res in pending])
-        sliced, ns = [], []
-        for (_, res), n in zip(pending, counts):
+        # First pass: scalars + (for fused entries) the meshed-id lists.
+        meta = jax.device_get([
+            (p.result.n_triangles, p.mesh_ids, p.keep,
+             p.batch_ovf, p.map_ovf, p.result.cells_dropped)
+            for p in pending])
+        sliced, ns, id_lists = [], [], []
+        for p, (n, ids, keep, batch_ovf, map_ovf, cells_dropped) in zip(
+                pending, meta):
+            if bool(cells_dropped):
+                logging.warning(
+                    "marching-cubes active-cell budget exceeded; scheduling "
+                    "full re-mesh")
+                self._need_full_remesh = True
+            if map_ovf is not None and bool(map_ovf):
+                raise RuntimeError(
+                    "Map capacity overflow: raise mapping.latent_capacity/"
+                    "alloc_capacity")
+            if batch_ovf is not None and bool(batch_ovf):
+                logging.warning(
+                    "mesh batch budget %d exceeded; scheduling full re-mesh "
+                    "(raise mesh_batch_budget to avoid)", self.mesh_budget)
+                self._need_full_remesh = True
+            ids = np.asarray(ids)
+            if keep is not None:                 # fused entry: mask padding
+                ids = ids[np.asarray(keep)]
+            id_lists.append(ids)
             n = int(n)
-            if n > self.budget:
+            cap = (self.fused_tri_budget if keep is not None else self.budget)
+            if n > cap:
                 logging.warning("mesh triangle budget exceeded: %d > %d",
-                                n, self.budget)
-                n = self.budget
-            nb = min(self.budget, max(4096, -(-n // 4096) * 4096))
-            sliced.append((res.vertices[:nb], res.vertex_std[:nb],
-                           res.flatten_id[:nb]))
+                                n, cap)
+                if keep is not None:
+                    self._need_full_remesh = True
+                n = cap
+            nb = min(cap, max(4096, -(-n // 4096) * 4096))
+            sliced.append((p.result.vertices[:nb], p.result.vertex_std[:nb],
+                           p.result.flatten_id[:nb]))
             ns.append(n)
         fetched = jax.device_get(sliced)
         # Merge batches in dispatch order: each batch drops every cached
         # triangle owned by a voxel it re-meshed, then appends its own.
         with self._lock:
-            for (mesh_ids, _), f, n in zip(pending, fetched, ns):
+            for mesh_ids, f, n in zip(id_lists, fetched, ns):
                 verts, vstd = f[0][:n], f[1][:n]
                 fid = f[2][:n].astype(np.int64)
                 stale = np.isin(self.vertices_flatten_id, mesh_ids)
