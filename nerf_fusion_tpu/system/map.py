@@ -28,6 +28,7 @@ from __future__ import annotations
 
 import functools
 import logging
+import threading
 from pathlib import Path
 from typing import NamedTuple
 
@@ -261,6 +262,10 @@ class SparseVoxelMap:
         self.main_device = None   # device of the fusion state (None = default)
         self.updated_slots = np.zeros((self.cfg.latent_capacity,), bool)
         self._updated_dev = None     # device-side accumulator (sync-free path)
+        # Guards read-modify-writes of the updated-voxel accumulators: the
+        # async mesher consumes them (and feeds leftovers back) from its
+        # worker thread while integration appends from the main thread.
+        self._upd_lock = threading.Lock()
         self.mesher = None  # attached lazily by system.mesher
         self.refiner = None
         self._refine_rng = jax.random.PRNGKey(
@@ -312,8 +317,9 @@ class SparseVoxelMap:
             points, normals, valid, pose_R, pose_t)
         # Overflow is checked lazily (self.check_overflow()) to keep this
         # call sync-free; updated_slots accumulates on device.
-        self._updated_dev = (updated if self._updated_dev is None
-                             else self._updated_dev | updated)
+        with self._upd_lock:
+            self._updated_dev = (updated if self._updated_dev is None
+                                 else self._updated_dev | updated)
         if logging.getLogger().isEnabledFor(logging.DEBUG):
             logging.debug("integrate: %d pts -> %d voxels updated (%d occupied)",
                           int(stats["n_points"]), int(stats["n_updated_voxels"]),
@@ -348,9 +354,10 @@ class SparseVoxelMap:
     def sync_updated(self):
         """Fold the device-side updated-voxel accumulator into the host set
         (one D2H sync; called by the mesher, not per frame)."""
-        if self._updated_dev is not None:
-            self.updated_slots |= np.asarray(self._updated_dev)
-            self._updated_dev = None
+        with self._upd_lock:
+            upd, self._updated_dev = self._updated_dev, None
+        if upd is not None:
+            self.updated_slots |= np.asarray(upd)
         return self.updated_slots
 
     def check_overflow(self):

@@ -61,6 +61,8 @@ class _Pending(NamedTuple):
     result: object
     batch_ovf: object
     map_ovf: object
+    leftover: object = None      # (C,) bool device mask of deferred voxels
+    n_leftover: object = None    # () device count of the above
 
 
 def _sample_offsets(r: int) -> np.ndarray:
@@ -99,12 +101,16 @@ def fused_extract(state, updated_mask, cfg, dec_params, dec_cfg,
     chunked host-driven path costs a queue-draining device_get plus a
     dispatch per 512-voxel chunk, ~1.4 s wall through a tunneled chip).
 
-    ``mesh_budget`` (static) caps the re-meshed voxel batch; the returned
-    ``batch_overflow`` flag tells the host the batch was truncated (it then
-    schedules a full re-mesh through the unbounded chunked path).
+    ``mesh_budget`` (static) caps the re-meshed voxel batch.  Voxels that
+    need re-meshing but did not fit (batch or unique-table truncation) come
+    back in the ``leftover`` slot mask: the host feeds it into the map's
+    device-side updated accumulator so the NEXT extraction picks them up —
+    overflow degrades into deferred incremental work instead of a full
+    re-mesh through the (compile-heavy) chunked path.
 
     :return: (MCResult, mesh_ids (mesh_budget,), keep (mesh_budget,) bool,
-              batch_overflow (), map_overflow ()).
+              batch_overflow (), map_overflow (), leftover (C,) bool,
+              n_leftover ()).
     """
     C = cfg.latent_capacity
     upd = updated_mask & (state.positions >= 0)
@@ -120,6 +126,27 @@ def fused_extract(state, updated_mask, cfg, dec_params, dec_cfg,
         jnp.where(keep, slot_c, C)].set(
         jnp.arange(mesh_budget, dtype=jnp.int32), mode="drop")
     lat_b = jnp.where(keep[:, None], state.latents[slot_c], 0.0)
+
+    # Deferral set: every allocated+confident slot in the 6-neighbour
+    # dilation of the updated set that this batch did NOT process.  Empty
+    # whenever the batch fit; on truncation it routes the remainder to the
+    # next extraction (strictly shrinking, so repeated extraction drains it).
+    upd_grid = jnp.zeros((cfg.n_voxels,), bool).at[
+        jnp.where(upd, state.positions, cfg.n_voxels)].set(True, mode="drop")
+    pos_xyz = voxops.unlinearize_id(jnp.maximum(state.positions, 0), cfg.n_xyz)
+    n_arr = jnp.asarray(cfg.n_xyz, jnp.int32)
+    need = upd
+    for d in (jnp.asarray(o, jnp.int32) for o in
+              ([-1, 0, 0], [1, 0, 0], [0, -1, 0], [0, 1, 0],
+               [0, 0, -1], [0, 0, 1])):
+        nb = pos_xyz + d[None, :]
+        inb = jnp.all((nb >= 0) & (nb < n_arr), axis=-1)
+        ngid = voxops.linearize_id(jnp.clip(nb, 0, n_arr - 1), cfg.n_xyz)
+        need = need | (inb & upd_grid[ngid])
+    confident = state.obs_count > cfg.ignore_count_th
+    need = need & (state.positions >= 0) & confident
+    leftover = need & (batch_map < 0)
+    n_leftover = jnp.sum(leftover).astype(jnp.int32)
 
     n_chunks = mesh_budget // MESH_CHUNK
     assert mesh_budget % MESH_CHUNK == 0, "mesh_budget must be a MESH_CHUNK multiple"
@@ -144,7 +171,8 @@ def fused_extract(state, updated_mask, cfg, dec_params, dec_cfg,
         cube_sdf, cube_std, cfg.n_xyz, cfg.voxel_size,
         jnp.asarray(cfg.bound_min, jnp.float32),
         r, C, max_std, tri_budget)
-    return result, uniq, keep, ovf_upd | ovf_u, state.overflow
+    return (result, uniq, keep, ovf_upd | ovf_u, state.overflow,
+            leftover, n_leftover)
 
 
 @functools.partial(jax.jit, static_argnames=("dec_cfg", "r", "fast", "reeval_budget"))
@@ -288,7 +316,10 @@ class Mesher:
             self._dispatch_fused(voxel_resolution, max_std, fast)
             if not materialize:
                 return None
-            self._drain_pending()
+            # Materialising extractions drain deferred (budget-truncated)
+            # batches to completion; bounded by capacity/mesh_budget rounds.
+            while self._drain_pending():
+                self._dispatch_fused(voxel_resolution, max_std, fast)
             return self.current_mesh()
         return self._extract_chunked(voxel_resolution, max_std, fast,
                                      no_cache, materialize)
@@ -299,14 +330,14 @@ class Mesher:
         import jax
 
         vmap = self.map
-        upd = vmap._updated_dev
-        if vmap.updated_slots.any():
-            h = jnp.asarray(vmap.updated_slots)
-            upd = h if upd is None else (upd | h)
-            vmap.updated_slots[:] = False
+        with vmap._upd_lock:
+            upd, vmap._updated_dev = vmap._updated_dev, None
+            if vmap.updated_slots.any():
+                h = jnp.asarray(vmap.updated_slots)
+                upd = h if upd is None else (upd | h)
+                vmap.updated_slots[:] = False
         if upd is None:
             return
-        vmap._updated_dev = None
 
         state = vmap.state
         dec_params = vmap.model.decoder_params
@@ -319,13 +350,22 @@ class Mesher:
         r = int(voxel_resolution)
         reeval_budget = max(1024, int(MESH_CHUNK * (2 * r) ** 3
                                       * self.reeval_fraction))
-        result, ids, keep, batch_ovf, map_ovf = fused_extract(
+        result, ids, keep, batch_ovf, map_ovf, leftover, n_left = fused_extract(
             state, upd, vmap.cfg, dec_params, vmap.model.decoder_config,
             r, fast, self.mesh_budget, self.fused_tri_budget,
             reeval_budget, float(max_std))
+        # Truncated batches defer their remainder: the leftover mask rides
+        # in the pending entry and is folded back into the map's updated
+        # accumulator at drain time iff non-empty (an unconditional
+        # feed-back would make every later extraction dispatch a full
+        # program for an empty batch).
+        if self.device is not None:
+            main_dev = next(iter(vmap.state.indexer.devices()))
+            leftover = jax.device_put(leftover, main_dev)
         with self._lock:
             self._pending.append(
-                _Pending(ids, keep, result, batch_ovf, map_ovf))
+                _Pending(ids, keep, result, batch_ovf, map_ovf,
+                         leftover, n_left))
 
     def _extract_chunked(self, voxel_resolution: int, max_std: float,
                          fast: bool, no_cache: bool, materialize: bool = True):
@@ -455,15 +495,16 @@ class Mesher:
         with self._lock:
             pending, self._pending = self._pending, []
         if not pending:
-            return
+            return 0
         # First pass: scalars + (for fused entries) the meshed-id lists.
         meta = jax.device_get([
             (p.result.n_triangles, p.mesh_ids, p.keep,
-             p.batch_ovf, p.map_ovf, p.result.cells_dropped)
+             p.batch_ovf, p.map_ovf, p.result.cells_dropped, p.n_leftover)
             for p in pending])
         sliced, ns, id_lists = [], [], []
-        for p, (n, ids, keep, batch_ovf, map_ovf, cells_dropped) in zip(
-                pending, meta):
+        total_leftover = 0
+        for p, (n, ids, keep, batch_ovf, map_ovf, cells_dropped,
+                n_leftover) in zip(pending, meta):
             if bool(cells_dropped):
                 logging.warning(
                     "marching-cubes active-cell budget exceeded; scheduling "
@@ -473,11 +514,19 @@ class Mesher:
                 raise RuntimeError(
                     "Map capacity overflow: raise mapping.latent_capacity/"
                     "alloc_capacity")
-            if batch_ovf is not None and bool(batch_ovf):
-                logging.warning(
-                    "mesh batch budget %d exceeded; scheduling full re-mesh "
-                    "(raise mesh_batch_budget to avoid)", self.mesh_budget)
-                self._need_full_remesh = True
+            if n_leftover is not None and int(n_leftover) > 0:
+                # Truncated batch: defer the remainder to the next
+                # extraction instead of a full re-mesh (the chunked path's
+                # per-bucket-size compiles are ruinous on tunneled chips).
+                total_leftover += int(n_leftover)
+                vmap = self.map
+                with vmap._upd_lock:
+                    vmap._updated_dev = (
+                        p.leftover if vmap._updated_dev is None
+                        else vmap._updated_dev | p.leftover)
+                logging.info(
+                    "mesh batch budget %d exceeded; %d voxels deferred to "
+                    "the next extraction", self.mesh_budget, int(n_leftover))
             ids = np.asarray(ids)
             if keep is not None:                 # fused entry: mask padding
                 ids = ids[np.asarray(keep)]
@@ -507,6 +556,7 @@ class Mesher:
                     [self.vertices_std[~stale], vstd])
                 self.vertices_flatten_id = np.concatenate(
                     [self.vertices_flatten_id[~stale], fid])
+        return total_leftover
 
     def current_mesh(self):
         self._drain_pending()

@@ -41,7 +41,8 @@ class FusionPipeline:
         # Triangle budget: reference main.py:93 drives int(4e6); configs may
         # override via max_n_triangles.
         self.mesher = Mesher(self.map, max_n_triangles=int(
-            getattr(args, "max_n_triangles", 4e6)), device=aux)
+            getattr(args, "max_n_triangles", 4e6)), device=aux,
+            mesh_batch_budget=int(getattr(args, "mesh_batch_budget", 4096)))
         budget = point_budget or int(getattr(map_args, "points_capacity", 16384))
         self.tracker = SDFTracker(self.map, args.tracking, point_budget=budget)
         self.timer = StageTimer()
