@@ -139,15 +139,46 @@ class LifCombinedDataset:
 
 
 def batch_iterator(dataset, batch_size: int, shuffle: bool = True,
-                   drop_last: bool = True, seed: int = 0):
-    """Yield stacked (sdf (B,S,4), surface (B,M,6), idx (B,)) batches."""
+                   drop_last: bool = True, seed: int = 0,
+                   num_workers: int = 4, prefetch: int = None):
+    """Yield stacked (sdf (B,S,4), surface (B,M,6), idx (B,)) batches.
+
+    ``num_workers`` > 0 assembles up to ``prefetch`` batches ahead on a
+    thread pool (the reference trains with 8 DataLoader workers,
+    trainer/main.py:68; npz decompression releases the GIL, so threads
+    overlap the accelerator step without fork/spawn hazards next to an
+    initialised TPU client).  0 = synchronous.
+    """
     order = np.arange(len(dataset))
     rng = np.random.RandomState(seed)
     if shuffle:
         rng.shuffle(order)
     end = len(order) - (len(order) % batch_size) if drop_last else len(order)
-    for s in range(0, end, batch_size):
+    starts = list(range(0, end, batch_size))
+
+    def assemble(s):
         items = [dataset[int(i)] for i in order[s:s + batch_size]]
-        yield (np.stack([it[0] for it in items]),
-               np.stack([it[1] for it in items]),
-               np.asarray([it[2] for it in items]))
+        return (np.stack([it[0] for it in items]),
+                np.stack([it[1] for it in items]),
+                np.asarray([it[2] for it in items]))
+
+    if num_workers <= 0:
+        for s in starts:
+            yield assemble(s)
+        return
+
+    from concurrent.futures import ThreadPoolExecutor
+    from collections import deque
+
+    depth = prefetch if prefetch is not None else 2 * num_workers
+    ex = ThreadPoolExecutor(num_workers)
+    try:
+        q = deque(ex.submit(assemble, s) for s in starts[:depth])
+        for i in range(len(starts)):
+            if i + depth < len(starts):
+                q.append(ex.submit(assemble, starts[i + depth]))
+            yield q.popleft().result()
+    finally:
+        # Consumers may stop early (max_steps_per_epoch): drop queued work
+        # instead of blocking an epoch boundary on ~depth stale batches.
+        ex.shutdown(wait=False, cancel_futures=True)
