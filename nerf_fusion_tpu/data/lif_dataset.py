@@ -120,6 +120,122 @@ class LifDataset:
         return samples, surf, idx
 
 
+    # -- packed fast path ---------------------------------------------------
+    def _ensure_packed(self):
+        """Build (once) and mmap the packed layout: per-LIF sign-sorted SDF
+        pools and surface rows as three concatenated .npy files + offsets.
+
+        Vectorised batch sampling over these (``sample_batch``) replaces
+        the per-item npz/python path: ~10 ms per 64-LIF batch instead of
+        ~90 ms threaded, which is what it takes to feed a TPU step (~5 ms).
+        The pack is persisted next to the payload and reused across runs;
+        mmap keeps resident memory at the touched pages only.
+        """
+        if getattr(self, "_packed", None) is not None:
+            return self._packed
+        pdir = self.data_path / "packed"
+        meta_p = pdir / "meta.npz"
+        if not meta_p.exists():
+            pdir.mkdir(exist_ok=True)
+            n = len(self)
+            pos_cnt = np.zeros(n, np.int64)
+            neg_cnt = np.zeros(n, np.int64)
+            surf_cnt = np.zeros(n, np.int64)
+            raws = []
+            for i in range(n):
+                with np.load(self.data_path / "payload" / ("%08d.npz" % i)) as raw:
+                    d, s = raw["data"], raw["surface"]
+                p = d[d[:, 3] > 0]
+                ng = d[d[:, 3] <= 0]
+                pos_cnt[i], neg_cnt[i], surf_cnt[i] = len(p), len(ng), len(s)
+                raws.append((p, ng, s))
+            pos_off = np.concatenate([[0], np.cumsum(pos_cnt)])
+            neg_off = np.concatenate([[0], np.cumsum(neg_cnt)])
+            surf_off = np.concatenate([[0], np.cumsum(surf_cnt)])
+            pos_m = np.lib.format.open_memmap(
+                pdir / "pos.npy", mode="w+", dtype=np.float32,
+                shape=(int(pos_off[-1]), 4))
+            neg_m = np.lib.format.open_memmap(
+                pdir / "neg.npy", mode="w+", dtype=np.float32,
+                shape=(int(neg_off[-1]), 4))
+            surf_m = np.lib.format.open_memmap(
+                pdir / "surf.npy", mode="w+", dtype=np.float32,
+                shape=(int(surf_off[-1]), 6))
+            for i, (p, ng, s) in enumerate(raws):
+                pos_m[pos_off[i]:pos_off[i + 1]] = p
+                neg_m[neg_off[i]:neg_off[i + 1]] = ng
+                surf_m[surf_off[i]:surf_off[i + 1]] = s
+            del pos_m, neg_m, surf_m, raws
+            np.savez(meta_p, pos_off=pos_off, neg_off=neg_off,
+                     surf_off=surf_off)
+        meta = np.load(meta_p)
+        self._packed = dict(
+            pos=np.load(pdir / "pos.npy", mmap_mode="r"),
+            neg=np.load(pdir / "neg.npy", mmap_mode="r"),
+            surf=np.load(pdir / "surf.npy", mmap_mode="r"),
+            pos_off=meta["pos_off"], neg_off=meta["neg_off"],
+            surf_off=meta["surf_off"])
+        return self._packed
+
+    def _batch_rotations(self, B, rng):
+        mode = self.augment_rotation
+        if mode == "3D":
+            return np.stack([_random_rotation(rng) for _ in range(B)]) \
+                .astype(np.float32)
+        if mode == "Y":
+            deg = rng.choice([0.0, 90.0, 180.0, 270.0], B) + 30.0 * rng.rand(B)
+            axis = np.array([0.0, 1.0, 0.0])
+        elif mode == "X":
+            deg = 360.0 * rng.rand(B)
+            axis = np.array([1.0, 0.0, 0.0])
+        else:
+            deg = 360.0 * rng.rand(B)
+            axis = np.array([0.0, 0.0, 1.0])
+        return np.stack([_rotation_matrix(axis, d) for d in deg]) \
+            .astype(np.float32)
+
+    def sample_batch(self, idxs):
+        """Vectorised equivalent of stacking ``self[i] for i in idxs``:
+        same sampling/augmentation distribution, one fancy-index per pool.
+
+        :return: (sdf (B,S,4), surface (B,M,6)) float32.
+        """
+        pk = self._ensure_packed()
+        idxs = np.asarray(idxs, np.int64)
+        B = len(idxs)
+        rng = self.rng
+        half, M = self.num_sample // 2, self.num_surface_sample
+
+        def pool_rows(arr, off, k):
+            starts = off[idxs][:, None]                       # (B,1)
+            cnts = (off[idxs + 1] - off[idxs])[:, None]       # (B,1)
+            r = rng.randint(0, 1 << 31, (B, k)) % np.maximum(cnts, 1)
+            rows = arr[(starts + r).reshape(-1)]
+            rows = rows.reshape(B, k, arr.shape[1]).astype(np.float32)
+            rows[np.broadcast_to(cnts == 0, (B, k))] = 0.0    # empty pool -> zeros
+            return rows
+
+        samples = np.concatenate([pool_rows(pk["pos"], pk["pos_off"], half),
+                                  pool_rows(pk["neg"], pk["neg_off"], half)],
+                                 axis=1)                      # (B, S, 4)
+        surf = pool_rows(pk["surf"], pk["surf_off"], M)       # (B, M, 6)
+
+        if self.augment_rotation is not None:
+            # batched BLAS matmul (einsum would fall back to naive loops)
+            Rt = self._batch_rotations(B, rng).transpose(0, 2, 1)  # (B, 3, 3)
+            samples[..., :3] = samples[..., :3] @ Rt
+            surf[..., :3] = surf[..., :3] @ Rt
+            surf[..., 3:6] = surf[..., 3:6] @ Rt
+        if self.augment_noise[0] > 0:
+            surf[..., :3] += (rng.randn(B, M, 3)
+                              * self.augment_noise[0]).astype(np.float32)
+            flat = surf.reshape(B * M, 6)
+            flat[:, 3:6] = perturb_normal(
+                flat[:, 3:6], np.deg2rad(self.augment_noise[1]), rng)
+            surf = flat.reshape(B, M, 6)
+        return samples, surf
+
+
 class LifCombinedDataset:
     """Concatenation of several LifDatasets (flat item contract)."""
 
@@ -137,17 +253,34 @@ class LifCombinedDataset:
         samples, surf, _ = self.datasets[d][idx - base]
         return samples, surf, idx
 
+    def sample_batch(self, idxs):
+        """Vectorised batch sampling, grouped per sub-dataset."""
+        idxs = np.asarray(idxs, np.int64)
+        d = np.searchsorted(self.cum, idxs, side="right")
+        base = np.concatenate([[0], self.cum[:-1]])
+        S = self.datasets[0].num_sample
+        M = self.datasets[0].num_surface_sample
+        samples = np.zeros((len(idxs), S, 4), np.float32)
+        surf = np.zeros((len(idxs), M, 6), np.float32)
+        for di in np.unique(d):
+            sel = d == di
+            s, sf = self.datasets[di].sample_batch(idxs[sel] - base[di])
+            samples[sel], surf[sel] = s, sf
+        return samples, surf
+
 
 def batch_iterator(dataset, batch_size: int, shuffle: bool = True,
                    drop_last: bool = True, seed: int = 0,
                    num_workers: int = 4, prefetch: int = None):
     """Yield stacked (sdf (B,S,4), surface (B,M,6), idx (B,)) batches.
 
-    ``num_workers`` > 0 assembles up to ``prefetch`` batches ahead on a
-    thread pool (the reference trains with 8 DataLoader workers,
-    trainer/main.py:68; npz decompression releases the GIL, so threads
-    overlap the accelerator step without fork/spawn hazards next to an
-    initialised TPU client).  0 = synchronous.
+    Datasets exposing ``sample_batch`` (the packed-mmap fast path) assemble
+    each batch with one vectorised call; otherwise items are stacked
+    one-by-one.  ``num_workers`` > 0 additionally prepares up to
+    ``prefetch`` batches ahead on a thread pool (the reference trains with
+    8 DataLoader workers, trainer/main.py:68; npz decompression releases
+    the GIL, so threads overlap the accelerator step without fork/spawn
+    hazards next to an initialised TPU client).  0 = synchronous.
     """
     order = np.arange(len(dataset))
     rng = np.random.RandomState(seed)
@@ -156,11 +289,18 @@ def batch_iterator(dataset, batch_size: int, shuffle: bool = True,
     end = len(order) - (len(order) % batch_size) if drop_last else len(order)
     starts = list(range(0, end, batch_size))
 
-    def assemble(s):
-        items = [dataset[int(i)] for i in order[s:s + batch_size]]
-        return (np.stack([it[0] for it in items]),
-                np.stack([it[1] for it in items]),
-                np.asarray([it[2] for it in items]))
+    if hasattr(dataset, "sample_batch"):
+        def assemble(s):
+            idxs = order[s:s + batch_size]
+            sdf, surf = dataset.sample_batch(idxs)
+            return sdf, surf, np.asarray(idxs)
+        num_workers = min(num_workers, 1)   # vectorised path: overlap only
+    else:
+        def assemble(s):
+            items = [dataset[int(i)] for i in order[s:s + batch_size]]
+            return (np.stack([it[0] for it in items]),
+                    np.stack([it[1] for it in items]),
+                    np.asarray([it[2] for it in items]))
 
     if num_workers <= 0:
         for s in starts:

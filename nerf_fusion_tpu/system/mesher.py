@@ -487,8 +487,8 @@ class Mesher:
 
         Exactly TWO batched D2H calls — one for the counts/flags/id lists,
         one for all (bucket-sliced) triangle buffers.  Slice sizes round up
-        to 4096-triangle buckets so at most budget/4096 distinct slice
-        programs ever compile.
+        to power-of-two buckets (>=4096) so at most log2(budget) distinct
+        slice programs ever compile.
         """
         import jax
 
@@ -539,7 +539,11 @@ class Mesher:
                 if keep is not None:
                     self._need_full_remesh = True
                 n = cap
-            nb = min(cap, max(4096, -(-n // 4096) * 4096))
+            # Power-of-two fetch buckets: a linear 4096 rounding would give
+            # up to budget/4096 (~1000 at the 4M lr-kt budget) distinct
+            # device slice programs — each a fresh compile.  log2 bounds it
+            # at ~11 shapes for <=2x over-fetch.
+            nb = min(cap, _bucket(n, 4096))
             sliced.append((p.result.vertices[:nb], p.result.vertex_std[:nb],
                            p.result.flatten_id[:nb]))
             ns.append(n)

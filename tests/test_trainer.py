@@ -118,3 +118,39 @@ def test_training_loss_decreases(tiny_lif_dir):
              (save_dir / "logs" / "scalars.jsonl").read_text().splitlines()]
     lls = [l["train"] for l in lines if l["tag"] == "epoch_sum/ll"]
     assert len(lls) == 2 and lls[1] < lls[0]
+
+
+@pytest.mark.slow
+def test_packed_sample_batch_matches_itemwise_distribution(tiny_lif_dir):
+    """The packed-mmap vectorised sampler must draw from exactly the same
+    per-LIF pools as the itemwise path: membership, sign balance, and
+    augmentation invariants all hold."""
+    ds = LifDataset(str(tiny_lif_dir), num_sample=64, num_surface_sample=32,
+                    augment_rotation=None, augment_noise=(0.0, 0.0))
+    idxs = np.arange(min(len(ds), 8))
+    sdf, surf = ds.sample_batch(idxs)
+    assert sdf.shape == (len(idxs), 64, 4) and surf.shape == (len(idxs), 32, 6)
+    for bi, i in enumerate(idxs):
+        raw = ds.get_raw_data(int(i))
+        data, surface = raw["data"], raw["surface"]
+        pos = data[data[:, 3] > 0]
+        neg = data[data[:, 3] <= 0]
+        # membership: every sampled row appears verbatim in the source pool
+        for row in sdf[bi, :32]:
+            src = pos if len(pos) else np.zeros((1, 4), np.float32)
+            assert np.isclose(src, row, atol=0).all(1).any()
+        for row in sdf[bi, 32:]:
+            src = neg if len(neg) else np.zeros((1, 4), np.float32)
+            assert np.isclose(src, row, atol=0).all(1).any()
+        for row in surf[bi]:
+            assert np.isclose(surface, row, atol=0).all(1).any()
+
+    # with augmentation: norms preserved, positions perturbed
+    ds2 = LifDataset(str(tiny_lif_dir), num_sample=64, num_surface_sample=32,
+                     augment_rotation="Y", augment_noise=(0.025, 40.0))
+    sdf2, surf2 = ds2.sample_batch(idxs)
+    assert np.allclose(np.linalg.norm(surf2[..., 3:6], axis=-1), 1.0, atol=1e-5)
+    # batch_iterator prefers the vectorised path and keeps the contract
+    b = next(iter(batch_iterator(ds2, 4, seed=0)))
+    assert b[0].shape == (4, 64, 4) and b[1].shape == (4, 32, 6)
+    assert b[2].shape == (4,)
