@@ -141,14 +141,15 @@ class LifDataset:
             pos_cnt = np.zeros(n, np.int64)
             neg_cnt = np.zeros(n, np.int64)
             surf_cnt = np.zeros(n, np.int64)
-            raws = []
+            # Two streaming passes (count, then write) keep peak memory at
+            # one payload instead of the whole uncompressed dataset.
             for i in range(n):
                 with np.load(self.data_path / "payload" / ("%08d.npz" % i)) as raw:
                     d, s = raw["data"], raw["surface"]
-                p = d[d[:, 3] > 0]
-                ng = d[d[:, 3] <= 0]
-                pos_cnt[i], neg_cnt[i], surf_cnt[i] = len(p), len(ng), len(s)
-                raws.append((p, ng, s))
+                sign = d[:, 3] > 0
+                pos_cnt[i] = int(sign.sum())
+                neg_cnt[i] = len(d) - pos_cnt[i]
+                surf_cnt[i] = len(s)
             pos_off = np.concatenate([[0], np.cumsum(pos_cnt)])
             neg_off = np.concatenate([[0], np.cumsum(neg_cnt)])
             surf_off = np.concatenate([[0], np.cumsum(surf_cnt)])
@@ -161,11 +162,14 @@ class LifDataset:
             surf_m = np.lib.format.open_memmap(
                 pdir / "surf.npy", mode="w+", dtype=np.float32,
                 shape=(int(surf_off[-1]), 6))
-            for i, (p, ng, s) in enumerate(raws):
-                pos_m[pos_off[i]:pos_off[i + 1]] = p
-                neg_m[neg_off[i]:neg_off[i + 1]] = ng
+            for i in range(n):
+                with np.load(self.data_path / "payload" / ("%08d.npz" % i)) as raw:
+                    d, s = raw["data"], raw["surface"]
+                sign = d[:, 3] > 0
+                pos_m[pos_off[i]:pos_off[i + 1]] = d[sign]
+                neg_m[neg_off[i]:neg_off[i + 1]] = d[~sign]
                 surf_m[surf_off[i]:surf_off[i + 1]] = s
-            del pos_m, neg_m, surf_m, raws
+            del pos_m, neg_m, surf_m
             np.savez(meta_p, pos_off=pos_off, neg_off=neg_off,
                      surf_off=surf_off)
         meta = np.load(meta_p)
@@ -210,8 +214,10 @@ class LifDataset:
             starts = off[idxs][:, None]                       # (B,1)
             cnts = (off[idxs + 1] - off[idxs])[:, None]       # (B,1)
             r = rng.randint(0, 1 << 31, (B, k)) % np.maximum(cnts, 1)
-            rows = arr[(starts + r).reshape(-1)]
-            rows = rows.reshape(B, k, arr.shape[1]).astype(np.float32)
+            # clip: a trailing empty pool has start == len(arr); its rows
+            # are zero-filled below, the clip just keeps the gather legal
+            flat = np.minimum(starts + r, max(len(arr) - 1, 0)).reshape(-1)
+            rows = arr[flat].reshape(B, k, arr.shape[1]).astype(np.float32)
             rows[np.broadcast_to(cnts == 0, (B, k))] = 0.0    # empty pool -> zeros
             return rows
 
@@ -271,7 +277,7 @@ class LifCombinedDataset:
 
 def batch_iterator(dataset, batch_size: int, shuffle: bool = True,
                    drop_last: bool = True, seed: int = 0,
-                   num_workers: int = 4, prefetch: int = None):
+                   num_workers: int = None, prefetch: int = None):
     """Yield stacked (sdf (B,S,4), surface (B,M,6), idx (B,)) batches.
 
     Datasets exposing ``sample_batch`` (the packed-mmap fast path) assemble
@@ -294,13 +300,19 @@ def batch_iterator(dataset, batch_size: int, shuffle: bool = True,
             idxs = order[s:s + batch_size]
             sdf, surf = dataset.sample_batch(idxs)
             return sdf, surf, np.asarray(idxs)
-        num_workers = min(num_workers, 1)   # vectorised path: overlap only
+        # vectorised path: a single overlap thread, still deterministic
+        # (one consumer of the dataset rng)
+        num_workers = 1 if num_workers is None else min(num_workers, 1)
     else:
         def assemble(s):
             items = [dataset[int(i)] for i in order[s:s + batch_size]]
             return (np.stack([it[0] for it in items]),
                     np.stack([it[1] for it in items]),
                     np.asarray([it[2] for it in items]))
+        # itemwise path: threads > 1 interleave draws from the dataset's
+        # shared rng nondeterministically — keep it opt-in
+        if num_workers is None:
+            num_workers = 0
 
     if num_workers <= 0:
         for s in starts:

@@ -308,7 +308,8 @@ class SparseVoxelMap:
             res = self.refiner.collect(device=self.main_device)
             if res is not None:
                 self.state = merge_refined(self.state, res, deintegrate=True)
-                self.updated_slots |= np.asarray(res.refined)
+                with self._upd_lock:
+                    self.updated_slots |= np.asarray(res.refined)
 
         self.state, updated, stats = integrate_keyframe(
             self.state, self.cfg,
@@ -344,7 +345,8 @@ class SparseVoxelMap:
                     n_iters=self.optim_n_iters,
                     code_reg_lambda=self.code_reg_lambda)
                 self.state = merge_refined(self.state, res, deintegrate=False)
-                self.updated_slots |= np.asarray(res.refined)
+                with self._upd_lock:
+                    self.updated_slots |= np.asarray(res.refined)
         return updated
 
     def get_sdf(self, xyz):

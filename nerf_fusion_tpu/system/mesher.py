@@ -53,13 +53,12 @@ class _Pending(NamedTuple):
     """A dispatched-but-unfetched extraction.
 
     Fused entries carry device arrays (``mesh_ids``+``keep``+overflow
-    flags); chunked entries carry a host ``mesh_ids`` array and ``None``
-    for the rest.
+    flag+leftover mask); chunked entries carry a host ``mesh_ids`` array
+    and ``None`` for the rest.
     """
     mesh_ids: object
     keep: object
     result: object
-    batch_ovf: object
     map_ovf: object
     leftover: object = None      # (C,) bool device mask of deferred voxels
     n_leftover: object = None    # () device count of the above
@@ -109,12 +108,10 @@ def fused_extract(state, updated_mask, cfg, dec_params, dec_cfg,
     re-mesh through the (compile-heavy) chunked path.
 
     :return: (MCResult, mesh_ids (mesh_budget,), keep (mesh_budget,) bool,
-              batch_overflow (), map_overflow (), leftover (C,) bool,
-              n_leftover ()).
+              map_overflow (), leftover (C,) bool, n_leftover ()).
     """
     C = cfg.latent_capacity
     upd = updated_mask & (state.positions >= 0)
-    ovf_upd = jnp.sum(upd).astype(jnp.int32) > mesh_budget
     upd_ids, upd_valid, _ = voxops.compact_by_mask(state.positions, upd, mesh_budget)
     exp_ids, exp_valid = voxops.expand_neighbors6(upd_ids, upd_valid, cfg.n_xyz)
     uniq, uniq_valid, _, ovf_u = voxops.masked_unique(exp_ids, exp_valid, mesh_budget)
@@ -171,8 +168,7 @@ def fused_extract(state, updated_mask, cfg, dec_params, dec_cfg,
         cube_sdf, cube_std, cfg.n_xyz, cfg.voxel_size,
         jnp.asarray(cfg.bound_min, jnp.float32),
         r, C, max_std, tri_budget)
-    return (result, uniq, keep, ovf_upd | ovf_u, state.overflow,
-            leftover, n_leftover)
+    return result, uniq, keep, state.overflow, leftover, n_leftover
 
 
 @functools.partial(jax.jit, static_argnames=("dec_cfg", "r", "fast", "reeval_budget"))
@@ -317,9 +313,26 @@ class Mesher:
             if not materialize:
                 return None
             # Materialising extractions drain deferred (budget-truncated)
-            # batches to completion; bounded by capacity/mesh_budget rounds.
-            while self._drain_pending():
+            # batches to completion.  Each round re-dilates the leftover
+            # set, so progress per round can degenerate near the budget —
+            # the round cap hands a stalled (or repair-flagged) drain to
+            # the unbounded chunked path, which always completes.
+            max_rounds = -(-self.map.cfg.latent_capacity // self.mesh_budget) + 8
+            for _ in range(max_rounds):
+                if not self._drain_pending():
+                    break
                 self._dispatch_fused(voxel_resolution, max_std, fast)
+            else:
+                logging.warning(
+                    "deferral drain stalled after %d rounds; full re-mesh",
+                    max_rounds)
+                self._need_full_remesh = True
+            if self._need_full_remesh:
+                # A batch lost triangles on-device (cell/triangle budget)
+                # during THIS drain: repair now — save_ply may be next.
+                self._need_full_remesh = False
+                return self._extract_chunked(voxel_resolution, max_std, fast,
+                                             True, materialize)
             return self.current_mesh()
         return self._extract_chunked(voxel_resolution, max_std, fast,
                                      no_cache, materialize)
@@ -350,7 +363,7 @@ class Mesher:
         r = int(voxel_resolution)
         reeval_budget = max(1024, int(MESH_CHUNK * (2 * r) ** 3
                                       * self.reeval_fraction))
-        result, ids, keep, batch_ovf, map_ovf, leftover, n_left = fused_extract(
+        result, ids, keep, map_ovf, leftover, n_left = fused_extract(
             state, upd, vmap.cfg, dec_params, vmap.model.decoder_config,
             r, fast, self.mesh_budget, self.fused_tri_budget,
             reeval_budget, float(max_std))
@@ -364,8 +377,7 @@ class Mesher:
             leftover = jax.device_put(leftover, main_dev)
         with self._lock:
             self._pending.append(
-                _Pending(ids, keep, result, batch_ovf, map_ovf,
-                         leftover, n_left))
+                _Pending(ids, keep, result, map_ovf, leftover, n_left))
 
     def _extract_chunked(self, voxel_resolution: int, max_std: float,
                          fast: bool, no_cache: bool, materialize: bool = True):
@@ -375,27 +387,28 @@ class Mesher:
         state = vmap.state
         # One batched D2H for all the host-side bookkeeping (each individual
         # fetch costs a full roundtrip on tunneled devices).
-        upd_dev = (vmap._updated_dev if vmap._updated_dev is not None
-                   else state.overflow)  # placeholder leaf when nothing pending
+        with vmap._upd_lock:
+            upd_dev, vmap._updated_dev = vmap._updated_dev, None
         overflow, upd_fetch, positions, obs, indexer_host = jax.device_get(
-            (state.overflow, upd_dev, state.positions, state.obs_count,
-             state.indexer))
+            (state.overflow,
+             upd_dev if upd_dev is not None else state.overflow,
+             state.positions, state.obs_count, state.indexer))
         if bool(overflow):
             raise RuntimeError(
                 "Map capacity overflow: raise mapping.latent_capacity/alloc_capacity")
-        if vmap._updated_dev is not None:
-            vmap.updated_slots |= upd_fetch
-            vmap._updated_dev = None
-        if no_cache:
-            updated = obs > 0
-            with self._lock:
-                self._pending.clear()     # superseded: everything re-meshes
-            self.vertices = np.zeros((0, 3, 3), np.float32)
-            self.vertices_std = np.zeros((0, 3), np.float32)
-            self.vertices_flatten_id = np.zeros((0,), np.int64)
-        else:
-            updated = vmap.updated_slots.copy()
-        vmap.updated_slots[:] = False
+        with vmap._upd_lock:
+            if upd_dev is not None:
+                vmap.updated_slots |= upd_fetch
+            if no_cache:
+                updated = obs > 0
+                with self._lock:
+                    self._pending.clear()  # superseded: everything re-meshes
+                self.vertices = np.zeros((0, 3, 3), np.float32)
+                self.vertices_std = np.zeros((0, 3), np.float32)
+                self.vertices_flatten_id = np.zeros((0,), np.int64)
+            else:
+                updated = vmap.updated_slots.copy()
+            vmap.updated_slots[:] = False
         if not updated.any():
             return self.current_mesh() if materialize else None
 
@@ -499,11 +512,11 @@ class Mesher:
         # First pass: scalars + (for fused entries) the meshed-id lists.
         meta = jax.device_get([
             (p.result.n_triangles, p.mesh_ids, p.keep,
-             p.batch_ovf, p.map_ovf, p.result.cells_dropped, p.n_leftover)
+             p.map_ovf, p.result.cells_dropped, p.n_leftover)
             for p in pending])
         sliced, ns, id_lists = [], [], []
         total_leftover = 0
-        for p, (n, ids, keep, batch_ovf, map_ovf, cells_dropped,
+        for p, (n, ids, keep, map_ovf, cells_dropped,
                 n_leftover) in zip(pending, meta):
             if bool(cells_dropped):
                 logging.warning(

@@ -154,3 +154,28 @@ def test_packed_sample_batch_matches_itemwise_distribution(tiny_lif_dir):
     b = next(iter(batch_iterator(ds2, 4, seed=0)))
     assert b[0].shape == (4, 64, 4) and b[1].shape == (4, 32, 6)
     assert b[2].shape == (4,)
+
+
+def test_packed_sampler_trailing_empty_pool(tmp_path):
+    """A trailing LIF with an empty sign pool must zero-fill, not crash
+    (regression: the packed gather indexed past the pool array)."""
+    import json
+    pdir = tmp_path / "payload"
+    pdir.mkdir()
+    rng = np.random.RandomState(0)
+    lifs = []
+    for i in range(3):
+        n = 50
+        data = rng.randn(n, 4).astype(np.float32)
+        if i == 2:
+            data[:, 3] = -np.abs(data[:, 3])   # last LIF: no positive sdf
+        surface = rng.randn(20, 6).astype(np.float32)
+        np.savez(pdir / ("%08d.npz" % i), data=data, surface=surface,
+                 min=np.zeros(3, np.float32), max=np.ones(3, np.float32))
+        lifs.append({"shape": "t", "voxel": i})
+    with (tmp_path / "source.json").open("w") as f:
+        json.dump(lifs, f)
+    ds = LifDataset(str(tmp_path), num_sample=16, num_surface_sample=8)
+    sdf, surf = ds.sample_batch(np.array([0, 1, 2]))
+    assert np.all(sdf[2, :8] == 0.0)           # empty positive pool -> zeros
+    assert np.all(sdf[2, 8:, 3] <= 0)
