@@ -29,8 +29,12 @@ class FrameIntrinsic:
 
 class FrameData:
     def __init__(self):
-        self.rgb = None        # (H, W, 3) float32 in [0, 1]
-        self.depth = None      # (H, W) float32 metres (NaN invalid)
+        # rgb: (H, W, 3) float32 in [0, 1] OR raw uint8; depth: (H, W)
+        # float32 metres (NaN invalid) OR raw uint16 counts at
+        # calib.dscale counts/metre (0 invalid).  Raw frames convert on
+        # device inside the jitted frontend (half the H2D bytes).
+        self.rgb = None
+        self.depth = None
         self.gt_pose = None    # utils.se3.Isometry | None
         self.calib = None      # FrameIntrinsic
 

@@ -39,13 +39,24 @@ class Preprocessed(NamedTuple):
 @functools.partial(jax.jit, static_argnames=("point_budget", "subsample"))
 def preprocess_frame(rgb, depth, fx, fy, cx, cy,
                      depth_cut_min, depth_cut_max, point_budget: int,
-                     subsample: float = 0.5):
+                     subsample: float = 0.5, depth_scale=1.0):
     """rgb (H,W,3), depth (H,W) -> Preprocessed.
+
+    ``rgb`` may be float32 in [0,1] or raw uint8; ``depth`` float32 metres
+    (NaN = invalid) or raw uint16 counts with ``depth_scale`` counts/metre
+    (0 = invalid).  Raw frames convert ON DEVICE: sensor/PNG data crosses
+    host->device at native width (1.8 MB vs 4.9 MB per 640x480 frame),
+    which matters on PCIe and dominates on thinner links.
 
     ``subsample`` is the tracking config's ``sdf.subsample`` depth scale
     (0.5 in fusion-lr-kt.yaml, 1.0 in train_scannet.yaml); the box filter
     voxel is 2 cm (tracker.py:119).
     """
+    if rgb.dtype == jnp.uint8:
+        rgb = rgb.astype(jnp.float32) * (1.0 / 255.0)
+    if depth.dtype != jnp.float32:
+        depth = jnp.where(depth == 0, jnp.nan,
+                          depth.astype(jnp.float32) / depth_scale)
     intensity = jnp.mean(rgb, axis=-1)
     depth = jnp.where((depth < depth_cut_min) | (depth > depth_cut_max),
                       jnp.nan, depth)

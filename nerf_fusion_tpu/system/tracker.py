@@ -267,7 +267,7 @@ def fused_frame_step(map_state, map_cfg, dec_params, dec_cfg,
                      fx, fy, cx, cy, depth_cut_min, depth_cut_max,
                      point_budget: int, gn_point_budget: int,
                      last_R, last_t, rgb_weight, n_unstable,
-                     pose_log, pose_count):
+                     pose_log, pose_count, depth_scale=1.0):
     """ONE device program per tracked frame: preprocessing (pyramids,
     unproject, outlier mask, normals, box filter), the staged GN schedule,
     the divergence state machine, pose composition, and the in-place pose
@@ -278,7 +278,7 @@ def fused_frame_step(map_state, map_cfg, dec_params, dec_cfg,
     """
     pre = preprocess_frame(rgb, depth, fx, fy, cx, cy,
                            depth_cut_min, depth_cut_max, point_budget,
-                           subsample=tcfg.subsample)
+                           subsample=tcfg.subsample, depth_scale=depth_scale)
     k = gn_point_budget
     pose_R, pose_t, rgb_weight, n_unstable, iters = track_and_update(
         map_state, map_cfg, dec_params, dec_cfg, tcfg,
@@ -413,11 +413,12 @@ class SDFTracker:
         self.drop_fracs = []           # device scalars; fetch in one batch
 
     def preprocess(self, rgb, depth, calib, depth_cut=(0.5, 5.0)):
-        return preprocess_frame(jnp.asarray(rgb, jnp.float32),
-                                jnp.asarray(depth, jnp.float32),
+        # dtype-preserving: raw uint8 rgb / uint16 depth convert on device
+        return preprocess_frame(jnp.asarray(rgb), jnp.asarray(depth),
                                 calib.fx, calib.fy, calib.cx, calib.cy,
                                 depth_cut[0], depth_cut[1], self.point_budget,
-                                subsample=self.tcfg.subsample)
+                                subsample=self.tcfg.subsample,
+                                depth_scale=float(getattr(calib, "dscale", 1.0)))
 
     def track_camera(self, rgb, depth, calib, set_pose: Isometry = None,
                      depth_cut=(0.5, 5.0)):
@@ -439,12 +440,13 @@ class SDFTracker:
                     self.map.state, self.map.cfg,
                     self.map.model.decoder_params, self.map.model.decoder_config,
                     self.tcfg, self.prev_pyr,
-                    jnp.asarray(rgb, jnp.float32), jnp.asarray(depth, jnp.float32),
+                    jnp.asarray(rgb), jnp.asarray(depth),
                     calib.fx, calib.fy, calib.cx, calib.cy,
                     depth_cut[0], depth_cut[1],
                     self.point_budget, self.gn_point_budget,
                     last_R, last_t, self.rgb_weight, self.n_unstable,
-                    self._pose_log, self._pose_count)
+                    self._pose_log, self._pose_count,
+                    depth_scale=float(getattr(calib, "dscale", 1.0)))
             pose = (pose_R, pose_t)
 
         self.last_processed_pc = (pre.points, pre.normals, pre.mask)

@@ -41,13 +41,19 @@ def test_reader_images_roundtrip(exported):
     rd = ICLNUIMSequence(str(out), first_tq=first_tq, load_gt=True)
     frame = next(rd)
     src = SyntheticSequence(n_frames=6, width=160, height=120).render_frame(0)
+    # frames stay at sensor width (device-side conversion); decode here
+    # exactly as the jitted frontend does
+    assert frame.depth.dtype == np.uint16 and frame.rgb.dtype == np.uint8
+    depth = np.where(frame.depth == 0, np.nan,
+                     frame.depth.astype(np.float32) / frame.calib.dscale)
+    rgb = frame.rgb.astype(np.float32) / 255.0
     # depth: quantised to 1/5000 m; invalid stays NaN
     sd = np.asarray(src.depth)
     m = np.isfinite(sd)
-    assert np.isnan(frame.depth[~m]).all()
-    assert np.abs(frame.depth[m] - sd[m]).max() < 2e-4
+    assert np.isnan(depth[~m]).all()
+    assert np.abs(depth[m] - sd[m]).max() < 2e-4
     # rgb: 8-bit quantisation
-    assert np.abs(frame.rgb - np.asarray(src.rgb)).max() < 0.01
+    assert np.abs(rgb - np.asarray(src.rgb)).max() < 0.01
     # ICL-NUIM intrinsics are hardcoded by the reader; the synthetic camera
     # uses the same fx at 640 width scaled by W/640
     assert frame.calib.fx == 481.2

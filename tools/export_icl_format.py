@@ -48,12 +48,14 @@ def export_sequence(sequence, out_dir, depth_scale=5000.0):
         frame = next(sequence)
         rgb = np.asarray(frame.rgb)
         depth = np.asarray(frame.depth)
-        bgr = cv2.cvtColor((np.clip(rgb, 0, 1) * 255).astype(np.uint8),
-                           cv2.COLOR_RGB2BGR)
-        cv2.imwrite(str(out / "rgb" / f"{i}.png"), bgr)
-        d16 = np.nan_to_num(depth, nan=0.0) * depth_scale
-        cv2.imwrite(str(out / "depth" / f"{i}.png"),
-                    np.clip(d16, 0, 65535).astype(np.uint16))
+        if rgb.dtype != np.uint8:           # float [0,1] frames
+            rgb = (np.clip(rgb, 0, 1) * 255).astype(np.uint8)
+        cv2.imwrite(str(out / "rgb" / f"{i}.png"),
+                    cv2.cvtColor(rgb, cv2.COLOR_RGB2BGR))
+        if depth.dtype != np.uint16:        # float metres (NaN invalid)
+            depth = np.clip(np.nan_to_num(depth, nan=0.0) * depth_scale,
+                            0, 65535).astype(np.uint16)
+        cv2.imwrite(str(out / "depth" / f"{i}.png"), depth)
         pose = frame.gt_pose
         # Row id i maps to frame i in the reader; row 0 is ignored (the
         # reader overwrites frame 0's pose with row 1's — reference parser
