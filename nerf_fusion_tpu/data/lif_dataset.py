@@ -133,6 +133,24 @@ class LifDataset:
         """
         if getattr(self, "_packed", None) is not None:
             return self._packed
+        if getattr(self, "data_path", None) is None:
+            # In-memory payload datasets (scene harvest): pack in RAM.
+            pos_l, neg_l, surf_l = [], [], []
+            for i in range(len(self)):
+                raw = self.get_raw_data(i)
+                d, s = raw["data"], raw["surface"]
+                sign = d[:, 3] > 0
+                pos_l.append(np.asarray(d[sign], np.float32))
+                neg_l.append(np.asarray(d[~sign], np.float32))
+                surf_l.append(np.asarray(s, np.float32))
+            off = lambda xs: np.concatenate(
+                [[0], np.cumsum([len(x) for x in xs])])
+            cat = lambda xs, w: (np.concatenate(xs) if xs
+                                 else np.zeros((0, w), np.float32))
+            self._packed = dict(
+                pos=cat(pos_l, 4), neg=cat(neg_l, 4), surf=cat(surf_l, 6),
+                pos_off=off(pos_l), neg_off=off(neg_l), surf_off=off(surf_l))
+            return self._packed
         pdir = self.data_path / "packed"
         meta_p = pdir / "meta.npz"
         if not meta_p.exists():

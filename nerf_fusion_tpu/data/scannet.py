@@ -59,13 +59,14 @@ class ScanNetSequence(RGBDSequence):
         import cv2
 
         i = self.ids[idx]
+        # sensor-width frames (uint16 counts / uint8 rgb): converted on
+        # device by the jitted frontend (0 depth = invalid)
         depth = cv2.imread(str(self.path / "depth" / f"{i}.png"),
-                           cv2.IMREAD_UNCHANGED).astype(np.float32) / self.depth_scale
-        depth[depth == 0] = np.nan
+                           cv2.IMREAD_UNCHANGED).astype(np.uint16)
         rgb = cv2.imread(str(self.path / "color" / f"{i}.jpg"))
         if rgb is None:
             rgb = cv2.imread(str(self.path / "color" / f"{i}.png"))
-        rgb = cv2.cvtColor(rgb, cv2.COLOR_BGR2RGB).astype(np.float32) / 255.0
+        rgb = cv2.cvtColor(rgb, cv2.COLOR_BGR2RGB)
         if rgb.shape[:2] != depth.shape:
             rgb = cv2.resize(rgb, (depth.shape[1], depth.shape[0]),
                              interpolation=cv2.INTER_AREA)

@@ -37,6 +37,7 @@ class MemoryLifDataset(LifDataset):
     def __init__(self, payloads, num_sample, num_surface_sample=128,
                  augment_rotation=None, augment_noise=(0.0, 0.0), seed=0):
         self.payloads = payloads
+        self.data_path = None       # in-memory: sample_batch packs in RAM
         self.data_sources = list(range(len(payloads)))
         self.num_sample = num_sample
         self.num_surface_sample = num_surface_sample
@@ -68,11 +69,12 @@ def harvest_scene_lifs(sequence, args, max_frames=None, frame_stride=5,
         pose = frame.gt_pose
         if pose is None:
             raise ValueError("per-scene training needs sequence poses (load_gt)")
-        pre = preprocess_frame(jnp.asarray(frame.rgb, jnp.float32),
-                               jnp.asarray(frame.depth, jnp.float32),
+        pre = preprocess_frame(jnp.asarray(frame.rgb), jnp.asarray(frame.depth),
                                frame.calib.fx, frame.calib.fy,
                                frame.calib.cx, frame.calib.cy,
-                               depth_cut[0], depth_cut[1], point_budget)
+                               depth_cut[0], depth_cut[1], point_budget,
+                               depth_scale=float(
+                                   getattr(frame.calib, "dscale", 1.0)))
         mask = np.asarray(pre.mask)
         pts = np.asarray(pre.points)[mask]
         nrm = np.asarray(pre.normals)[mask]

@@ -47,7 +47,10 @@ def test_scannet_reader(scannet_dir):
         assert fr.depth.shape == (120, 160)
     src = SyntheticSequence(n_frames=5, width=160, height=120).render_frame(4)
     m = np.isfinite(np.asarray(src.depth))
-    assert np.abs(fr.depth[m] - np.asarray(src.depth)[m]).max() < 1e-3
+    # sensor-width frames: decode as the jitted frontend does on device
+    assert fr.depth.dtype == np.uint16 and fr.rgb.dtype == np.uint8
+    depth = fr.depth.astype(np.float32) / rd.depth_scale
+    assert np.abs(depth[m] - np.asarray(src.depth)[m]).max() < 1e-3
 
 
 def test_scannet_frame_skip_and_untracked(scannet_dir):
