@@ -70,7 +70,7 @@ def test_flagship_demo_contract(flagship_workdir):
     assert np.all(np.isfinite(traj))
 
     # Mesh is non-trivial at the 4M-triangle config budget.
-    header = (out / "mesh.ply").read_text().split("end_header")[0]
+    header = (out / "mesh.ply").read_bytes().split(b"end_header")[0].decode()
     n_vertex = int([l for l in header.splitlines()
                     if l.startswith("element vertex")][0].split()[-1])
     assert n_vertex > 10000

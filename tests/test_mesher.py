@@ -83,10 +83,21 @@ def test_ply_export(tmp_path, plane_mesher):
     m.extract(4, max_std=0.3, fast=False, no_cache=True)
     out = tmp_path / "mesh.ply"
     m.save_ply(out)
-    text = out.read_text().splitlines()
-    assert text[0] == "ply"
-    nv = int([l for l in text if l.startswith("element vertex")][0].split()[-1])
+    raw = out.read_bytes()
+    header = raw.split(b"end_header\n")[0].decode().splitlines()
+    assert header[0] == "ply"
+    nv = int([l for l in header
+              if l.startswith("element vertex")][0].split()[-1])
     assert nv == len(m.vertices) * 3
+    # binary body: 3 f4 + 3 u1 per vertex, (u1 + 3 i4) per face
+    body = raw.split(b"end_header\n", 1)[1]
+    assert len(body) == nv * 15 + (nv // 3) * 13
+    verts = np.frombuffer(body[:nv * 15], dtype=[("x", "<f4"), ("y", "<f4"),
+                                                 ("z", "<f4"), ("r", "u1"),
+                                                 ("g", "u1"), ("b", "u1")])
+    np.testing.assert_allclose(
+        np.stack([verts["x"], verts["y"], verts["z"]], -1),
+        m.vertices.reshape(-1, 3), rtol=1e-6)
 
 
 def test_budget_overflow_defers_and_converges():
