@@ -36,10 +36,15 @@ class Preprocessed(NamedTuple):
                            # collisions (quality signal; bench gates on it)
 
 
-@functools.partial(jax.jit, static_argnames=("point_budget", "subsample"))
+@functools.partial(jax.jit, static_argnames=(
+    "point_budget", "subsample", "outlier_radius", "outlier_min_nb",
+    "normal_radius", "normal_min_nb", "box_filter_size"))
 def preprocess_frame(rgb, depth, fx, fy, cx, cy,
                      depth_cut_min, depth_cut_max, point_budget: int,
-                     subsample: float = 0.5, depth_scale=1.0):
+                     subsample: float = 0.5, depth_scale=1.0,
+                     outlier_radius: float = 0.05, outlier_min_nb: int = 16,
+                     normal_radius: float = 0.1, normal_min_nb: int = 5,
+                     box_filter_size: float = 0.02):
     """rgb (H,W,3), depth (H,W) -> Preprocessed.
 
     ``rgb`` may be float32 in [0,1] or raw uint8; ``depth`` float32 metres
@@ -49,8 +54,13 @@ def preprocess_frame(rgb, depth, fx, fy, cx, cy,
     which matters on PCIe and dominates on thinner links.
 
     ``subsample`` is the tracking config's ``sdf.subsample`` depth scale
-    (0.5 in fusion-lr-kt.yaml, 1.0 in train_scannet.yaml); the box filter
-    voxel is 2 cm (tracker.py:119).
+    (0.5 in fusion-lr-kt.yaml, 1.0 in train_scannet.yaml).  The metric
+    thresholds default to the reference's hardcoded values (outliers: >=16
+    neighbours within 5 cm, tracker.py:109; normals: 10 cm window >= 5,
+    tracker.py:112; box filter 2 cm, tracker.py:119) — tuned for VGA depth;
+    at coarser pixel pitch the outlier gate rejects everything, so
+    low-resolution cameras must lower it (tracking config ``preprocess:``
+    block).
     """
     if rgb.dtype == jnp.uint8:
         rgb = rgb.astype(jnp.float32) * (1.0 / 255.0)
@@ -86,16 +96,19 @@ def preprocess_frame(rgb, depth, fx, fy, cx, cy,
     valid = jnp.isfinite(pc_depth)
     pts0 = jnp.where(valid[None], pts, 0.0)
 
-    # Radius outlier removal: >=16 neighbours within 5 cm (tracker.py:109).
-    ncount = imgproc.radius_neighbor_count(pts0, valid, radius=0.05, radius_px=3)
-    valid = valid & (ncount >= 16)
+    # Radius outlier removal (reference default: >=16 within 5 cm,
+    # tracker.py:109).
+    ncount = imgproc.radius_neighbor_count(pts0, valid,
+                                           radius=outlier_radius, radius_px=3)
+    valid = valid & (ncount >= outlier_min_nb)
 
     # Windowed-PCA normals, camera-facing (tracker.py:112).
     normals, nvalid = imgproc.estimate_normals_image(
-        pts0, valid, radius=0.1, radius_px=3, min_neighbors=5)
+        pts0, valid, radius=normal_radius, radius_px=3,
+        min_neighbors=normal_min_nb)
     valid = valid & nvalid
 
-    # 2 cm box-filter downsample into the fixed budget (tracker.py:119).
+    # Box-filter downsample into the fixed budget (tracker.py:119).
     flat_p = pts0.reshape(3, -1).T
     flat_n = normals.reshape(3, -1).T
     flat_v = valid.reshape(-1)
@@ -108,6 +121,6 @@ def preprocess_frame(rgb, depth, fx, fy, cx, cy,
         rgb_pc = rgb[::4, ::4]
     flat_c = rgb_pc.reshape(-1, 3)
     bp, bn, bc, bm, drop = imgproc.box_filter_points(
-        flat_p, flat_n, flat_v, voxel_size=0.02, capacity=point_budget,
-        colors=flat_c)
+        flat_p, flat_n, flat_v, voxel_size=box_filter_size,
+        capacity=point_budget, colors=flat_c)
     return Preprocessed(pyr, bp, bn, bc, bm, drop)

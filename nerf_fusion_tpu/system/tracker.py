@@ -70,11 +70,21 @@ class TrackerConfig(NamedTuple):
     motion_weight: float
     rgb_stride: int
     scale_level_intrinsics: bool
+    # frontend metric thresholds (reference defaults are VGA-tuned;
+    # configurable via a tracking ``preprocess:`` block for other sensors)
+    outlier_radius: float = 0.05
+    outlier_min_nb: int = 16
+    normal_radius: float = 0.1
+    normal_min_nb: int = 5
+    box_filter_size: float = 0.02
 
     @staticmethod
     def from_args(args) -> "TrackerConfig":
         sdf = args.sdf if isinstance(args.sdf, dict) else vars(args.sdf)
         rgb = args.rgb if isinstance(args.rgb, dict) else vars(args.rgb)
+        pre = getattr(args, "preprocess", {}) or {}
+        if not isinstance(pre, dict):
+            pre = vars(pre)
         groups = []
         for g in args.iter_config:
             terms = tuple(tuple(t) for t in g["type"])
@@ -101,6 +111,11 @@ class TrackerConfig(NamedTuple):
             scale_level_intrinsics=bool(rgb.get("scale_intrinsics", False)),
             motion_weight=float(getattr(args, "motion", {}).get("weight", 1.0)
                                 if hasattr(args, "motion") else 1.0),
+            outlier_radius=float(pre.get("outlier_radius", 0.05)),
+            outlier_min_nb=int(pre.get("outlier_min_nb", 16)),
+            normal_radius=float(pre.get("normal_radius", 0.1)),
+            normal_min_nb=int(pre.get("normal_min_nb", 5)),
+            box_filter_size=float(pre.get("box_filter_size", 0.02)),
         )
 
 
@@ -278,7 +293,12 @@ def fused_frame_step(map_state, map_cfg, dec_params, dec_cfg,
     """
     pre = preprocess_frame(rgb, depth, fx, fy, cx, cy,
                            depth_cut_min, depth_cut_max, point_budget,
-                           subsample=tcfg.subsample, depth_scale=depth_scale)
+                           subsample=tcfg.subsample, depth_scale=depth_scale,
+                           outlier_radius=tcfg.outlier_radius,
+                           outlier_min_nb=tcfg.outlier_min_nb,
+                           normal_radius=tcfg.normal_radius,
+                           normal_min_nb=tcfg.normal_min_nb,
+                           box_filter_size=tcfg.box_filter_size)
     k = gn_point_budget
     pose_R, pose_t, rgb_weight, n_unstable, iters = track_and_update(
         map_state, map_cfg, dec_params, dec_cfg, tcfg,
@@ -414,11 +434,17 @@ class SDFTracker:
 
     def preprocess(self, rgb, depth, calib, depth_cut=(0.5, 5.0)):
         # dtype-preserving: raw uint8 rgb / uint16 depth convert on device
+        t = self.tcfg
         return preprocess_frame(jnp.asarray(rgb), jnp.asarray(depth),
                                 calib.fx, calib.fy, calib.cx, calib.cy,
                                 depth_cut[0], depth_cut[1], self.point_budget,
-                                subsample=self.tcfg.subsample,
-                                depth_scale=float(getattr(calib, "dscale", 1.0)))
+                                subsample=t.subsample,
+                                depth_scale=float(getattr(calib, "dscale", 1.0)),
+                                outlier_radius=t.outlier_radius,
+                                outlier_min_nb=t.outlier_min_nb,
+                                normal_radius=t.normal_radius,
+                                normal_min_nb=t.normal_min_nb,
+                                box_filter_size=t.box_filter_size)
 
     def track_camera(self, rgb, depth, calib, set_pose: Isometry = None,
                      depth_cut=(0.5, 5.0)):

@@ -65,3 +65,47 @@ def test_tracking_beats_constant_pose():
     err_tracked = [np.linalg.norm(p.t - g.t) for p, g in zip(traj[1:], gts[1:])]
     drift_static = [np.linalg.norm(gts[0].t - g.t) for g in gts[1:]]
     assert np.mean(err_tracked) < 0.5 * np.mean(drift_static)
+
+
+def test_preprocess_thresholds_configurable_for_low_res():
+    """The reference's VGA-tuned metric gates (>=16 neighbours in 5 cm)
+    reject every point at 160x120 pixel pitch; the tracking ``preprocess:``
+    block must rescue such sensors."""
+    import jax.numpy as jnp
+
+    from nerf_fusion_tpu.data.synth import SyntheticSequence
+    from nerf_fusion_tpu.system.frontend import preprocess_frame
+
+    seq = SyntheticSequence(n_frames=1, width=160, height=120)
+    f = seq.render_frame(0)
+    c = f.calib.scaled(160 / 640)
+    kw = dict(depth_cut_min=0.5, depth_cut_max=5.0, point_budget=8192,
+              subsample=0.5)
+    rgb = jnp.asarray(f.rgb, jnp.float32)
+    depth = jnp.asarray(f.depth, jnp.float32)
+    pre_def = preprocess_frame(rgb, depth, c.fx, c.fy, c.cx, c.cy, **kw)
+    pre_cfg = preprocess_frame(rgb, depth, c.fx, c.fy, c.cx, c.cy, **kw,
+                               outlier_radius=0.15, outlier_min_nb=6,
+                               normal_radius=0.2)
+    import numpy as np
+    n_def = int(np.asarray(pre_def.mask).sum())
+    n_cfg = int(np.asarray(pre_cfg.mask).sum())
+    assert n_def == 0          # documents the VGA-tuned default behaviour
+    assert n_cfg > 200
+    nrm = np.asarray(pre_cfg.normals)[np.asarray(pre_cfg.mask)]
+    assert np.allclose(np.linalg.norm(nrm, axis=1), 1.0, atol=1e-4)
+
+
+def test_tracker_config_reads_preprocess_block():
+    from nerf_fusion_tpu.system.tracker import TrackerConfig
+    from nerf_fusion_tpu.utils.config import dict_to_args
+
+    args = dict_to_args(dict(
+        iter_config=[{"n": 2, "type": [["sdf"]]}],
+        sdf={"robust_kernel": "huber", "robust_k": 5.0, "subsample": 0.5},
+        rgb={"weight": 500.0, "robust_kernel": None},
+        preprocess={"outlier_min_nb": 6, "box_filter_size": 0.04}))
+    t = TrackerConfig.from_args(args)
+    assert t.outlier_min_nb == 6
+    assert t.box_filter_size == 0.04
+    assert t.outlier_radius == 0.05    # untouched defaults stay reference
