@@ -51,6 +51,14 @@ def perturb_normal(normals, theta_range, rng):
     return np.cos(theta) * normals + np.sin(theta) * phi_dir
 
 
+def _split_signs(data):
+    """The balanced-sampling sign convention, in ONE place: positive pool
+    is sdf > 0, negative pool is sdf <= 0 (reference lif_dataset.py:59-67).
+    Used by the itemwise path, the in-memory pack, and the disk pack."""
+    sign = data[:, 3] > 0
+    return data[sign], data[~sign]
+
+
 class LifDataset:
     def __init__(self, data_path, num_sample, num_surface_sample: int = 0,
                  augment_rotation=None, augment_noise=(0.0, 0.0), seed: int = 0,
@@ -84,8 +92,7 @@ class LifDataset:
         surface = raw["surface"]               # (M, 6) xyz + normal
         rng = self.rng
 
-        pos = data[data[:, 3] > 0]
-        neg = data[data[:, 3] <= 0]
+        pos, neg = _split_signs(data)
         half = self.num_sample // 2
         samples = np.concatenate([
             pos[rng.randint(0, max(len(pos), 1), half)] if len(pos) else
@@ -138,11 +145,10 @@ class LifDataset:
             pos_l, neg_l, surf_l = [], [], []
             for i in range(len(self)):
                 raw = self.get_raw_data(i)
-                d, s = raw["data"], raw["surface"]
-                sign = d[:, 3] > 0
-                pos_l.append(np.asarray(d[sign], np.float32))
-                neg_l.append(np.asarray(d[~sign], np.float32))
-                surf_l.append(np.asarray(s, np.float32))
+                p, ng = _split_signs(raw["data"])
+                pos_l.append(np.asarray(p, np.float32))
+                neg_l.append(np.asarray(ng, np.float32))
+                surf_l.append(np.asarray(raw["surface"], np.float32))
             off = lambda xs: np.concatenate(
                 [[0], np.cumsum([len(x) for x in xs])])
             cat = lambda xs, w: (np.concatenate(xs) if xs
@@ -163,11 +169,10 @@ class LifDataset:
             # one payload instead of the whole uncompressed dataset.
             for i in range(n):
                 with np.load(self.data_path / "payload" / ("%08d.npz" % i)) as raw:
-                    d, s = raw["data"], raw["surface"]
-                sign = d[:, 3] > 0
-                pos_cnt[i] = int(sign.sum())
-                neg_cnt[i] = len(d) - pos_cnt[i]
-                surf_cnt[i] = len(s)
+                    p, ng = _split_signs(raw["data"])
+                    surf_cnt[i] = len(raw["surface"])
+                pos_cnt[i] = len(p)
+                neg_cnt[i] = len(ng)
             pos_off = np.concatenate([[0], np.cumsum(pos_cnt)])
             neg_off = np.concatenate([[0], np.cumsum(neg_cnt)])
             surf_off = np.concatenate([[0], np.cumsum(surf_cnt)])
@@ -182,11 +187,10 @@ class LifDataset:
                 shape=(int(surf_off[-1]), 6))
             for i in range(n):
                 with np.load(self.data_path / "payload" / ("%08d.npz" % i)) as raw:
-                    d, s = raw["data"], raw["surface"]
-                sign = d[:, 3] > 0
-                pos_m[pos_off[i]:pos_off[i + 1]] = d[sign]
-                neg_m[neg_off[i]:neg_off[i + 1]] = d[~sign]
-                surf_m[surf_off[i]:surf_off[i + 1]] = s
+                    p, ng = _split_signs(raw["data"])
+                    pos_m[pos_off[i]:pos_off[i + 1]] = p
+                    neg_m[neg_off[i]:neg_off[i + 1]] = ng
+                    surf_m[surf_off[i]:surf_off[i + 1]] = raw["surface"]
             del pos_m, neg_m, surf_m
             np.savez(meta_p, pos_off=pos_off, neg_off=neg_off,
                      surf_off=surf_off)

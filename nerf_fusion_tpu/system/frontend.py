@@ -57,13 +57,13 @@ def preprocess_frame(rgb, depth, fx, fy, cx, cy,
     (0.5 in fusion-lr-kt.yaml, 1.0 in train_scannet.yaml).  The metric
     thresholds default to the reference's hardcoded values (outliers: >=16
     neighbours within 5 cm, tracker.py:109; normals: 10 cm window >= 5,
-    tracker.py:112; box filter 2 cm, tracker.py:119) — tuned for VGA depth;
-    at coarser pixel pitch the outlier gate rejects everything, so
-    low-resolution cameras must lower it (tracking config ``preprocess:``
-    block).
+    tracker.py:112; box filter 2 cm, tracker.py:119) — tuned for VGA-class
+    depth.  At much coarser pixel pitch (e.g. 80x60, where neighbouring
+    rays are >5 cm apart beyond ~1.5 m) the outlier gate starves; such
+    sensors configure the tracking ``preprocess:`` block instead.
     """
     if rgb.dtype == jnp.uint8:
-        rgb = rgb.astype(jnp.float32) * (1.0 / 255.0)
+        rgb = rgb.astype(jnp.float32) / 255.0
     if depth.dtype != jnp.float32:
         depth = jnp.where(depth == 0, jnp.nan,
                           depth.astype(jnp.float32) / depth_scale)

@@ -60,6 +60,19 @@ def harvest_scene_lifs(sequence, args, max_frames=None, frame_stride=5,
                   else args.mapping.voxel_size)
     depth_cut = (getattr(args, "depth_cut_min", 0.5),
                  getattr(args, "depth_cut_max", 5.0))
+    # frontend metric thresholds (reference VGA defaults; a coarse-pitch
+    # sensor overrides via a top-level or tracking `preprocess:` block)
+    pre = (getattr(args, "preprocess", None)
+           or (args.tracking.get("preprocess")
+               if isinstance(getattr(args, "tracking", None), dict) else None)
+           or {})
+    if not isinstance(pre, dict):
+        pre = vars(pre)
+    pre_kw = {k: pre[k] for k in ("outlier_radius", "outlier_min_nb",
+                                  "normal_radius", "normal_min_nb",
+                                  "box_filter_size") if k in pre}
+    pre_kw = {k: (int(v) if k.endswith("_nb") else float(v))
+              for k, v in pre_kw.items()}
     all_pts, all_nrm = [], []
     n = len(sequence) if max_frames is None else min(max_frames, len(sequence))
     for i in range(n):
@@ -74,7 +87,8 @@ def harvest_scene_lifs(sequence, args, max_frames=None, frame_stride=5,
                                frame.calib.cx, frame.calib.cy,
                                depth_cut[0], depth_cut[1], point_budget,
                                depth_scale=float(
-                                   getattr(frame.calib, "dscale", 1.0)))
+                                   getattr(frame.calib, "dscale", 1.0)),
+                               **pre_kw)
         mask = np.asarray(pre.mask)
         pts = np.asarray(pre.points)[mask]
         nrm = np.asarray(pre.normals)[mask]

@@ -49,6 +49,7 @@ def test_harvest_and_train_scene(scene_dir, tmp_path):
     args.additional_snapshots = []
     args.save_dir = str(tmp_path / "ckpt")
     args.run_name = "t"
+    args.preprocess = {"outlier_min_nb": 8}   # exercises the threshold plumb
     seq = ScanNetSequence(str(scene_dir))
     payloads = harvest_scene_lifs(seq, args, max_frames=5, frame_stride=1)
     assert len(payloads) > 5

@@ -69,29 +69,30 @@ def test_tracking_beats_constant_pose():
 
 def test_preprocess_thresholds_configurable_for_low_res():
     """The reference's VGA-tuned metric gates (>=16 neighbours in 5 cm)
-    reject every point at 160x120 pixel pitch; the tracking ``preprocess:``
-    block must rescue such sensors."""
+    starve at coarse pixel pitch (80x60: adjacent subsampled rays are
+    >5 cm apart past ~1.5 m); the tracking ``preprocess:`` block rescues
+    such sensors.  (Synthetic frames carry correctly width-scaled
+    intrinsics — no extra scaling.)"""
     import jax.numpy as jnp
 
     from nerf_fusion_tpu.data.synth import SyntheticSequence
     from nerf_fusion_tpu.system.frontend import preprocess_frame
 
-    seq = SyntheticSequence(n_frames=1, width=160, height=120)
+    seq = SyntheticSequence(n_frames=1, width=80, height=60)
     f = seq.render_frame(0)
-    c = f.calib.scaled(160 / 640)
+    c = f.calib
     kw = dict(depth_cut_min=0.5, depth_cut_max=5.0, point_budget=8192,
               subsample=0.5)
     rgb = jnp.asarray(f.rgb, jnp.float32)
     depth = jnp.asarray(f.depth, jnp.float32)
     pre_def = preprocess_frame(rgb, depth, c.fx, c.fy, c.cx, c.cy, **kw)
     pre_cfg = preprocess_frame(rgb, depth, c.fx, c.fy, c.cx, c.cy, **kw,
-                               outlier_radius=0.15, outlier_min_nb=6,
-                               normal_radius=0.2)
+                               outlier_radius=0.3, outlier_min_nb=6,
+                               normal_radius=0.4)
     import numpy as np
     n_def = int(np.asarray(pre_def.mask).sum())
     n_cfg = int(np.asarray(pre_cfg.mask).sum())
-    assert n_def == 0          # documents the VGA-tuned default behaviour
-    assert n_cfg > 200
+    assert n_cfg > max(4 * n_def, 50)   # knobs recover starved geometry
     nrm = np.asarray(pre_cfg.normals)[np.asarray(pre_cfg.mask)]
     assert np.allclose(np.linalg.norm(nrm, axis=1), 1.0, atol=1e-4)
 

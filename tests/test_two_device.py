@@ -40,8 +40,7 @@ def _run(single_device: bool, n_frames=7, w=320, h=240):
     seq = SyntheticSequence(n_frames=n_frames, width=w, height=h)
     pipe = FusionPipeline(model, args, point_budget=8192)
     for i in range(n_frames):
-        frame = next(seq)
-        frame.calib = frame.calib.scaled(w / 640)
+        frame = next(seq)          # synth calib is already width-scaled
         pipe.process_frame(frame, i)
     mesh = pipe.mesher.extract(4, max_std=0.3)
     return pipe, np.stack([p.matrix for p in pipe.trajectory()]), mesh
@@ -57,8 +56,9 @@ def test_two_device_pipeline_matches_single_device():
     pipe1, traj1, mesh1 = _run(single_device=True)
     assert pipe1.aux_device is None
     np.testing.assert_allclose(traj2, traj1, atol=1e-6)
-    # non-vacuous: at 160x120 the metric outlier gate rejects every point
-    # and both meshes come back empty — 320x240 keeps real geometry
+    # non-vacuous: an earlier version double-scaled the synthetic calib
+    # (synth frames already carry width-scaled intrinsics), which made the
+    # outlier gate reject everything and compared two EMPTY meshes
     assert len(mesh1) > 0
     assert mesh1.shape == mesh2.shape
     np.testing.assert_allclose(np.sort(mesh2.reshape(-1)),

@@ -52,6 +52,13 @@ def export_sequence(sequence, out_dir, depth_scale=5000.0):
             rgb = (np.clip(rgb, 0, 1) * 255).astype(np.uint8)
         cv2.imwrite(str(out / "rgb" / f"{i}.png"),
                     cv2.cvtColor(rgb, cv2.COLOR_RGB2BGR))
+        if depth.dtype == np.uint16:
+            # raw counts at the SOURCE sequence's scale: re-quantise to the
+            # ICL layout's depth_scale (counts/metre) when they differ
+            src_scale = float(getattr(frame.calib, "dscale", depth_scale))
+            if src_scale != depth_scale:
+                depth = np.where(depth == 0, np.nan,
+                                 depth.astype(np.float32) / src_scale)
         if depth.dtype != np.uint16:        # float metres (NaN invalid)
             depth = np.clip(np.nan_to_num(depth, nan=0.0) * depth_scale,
                             0, 65535).astype(np.uint16)
