@@ -292,9 +292,16 @@ class Mesher:
                     return None
                 self._thread = None
                 return self.current_mesh()
+            # The worker drains ONE round only (drain_deferred=False):
+            # mid-run leftovers roll into the next cadence extraction.
+            # Loop-draining here would fetch + re-dispatch repeatedly while
+            # the frame loop runs — mid-run D2H roundtrips contend with the
+            # dispatch stream (measured 46 -> 26 fps through a tunneled
+            # chip).  The run-final SYNC extraction still drains fully.
             self._thread = threading.Thread(
                 target=self._extract_impl,
-                args=(voxel_resolution, max_std, fast, no_cache), daemon=True)
+                args=(voxel_resolution, max_std, fast, no_cache),
+                kwargs={"drain_deferred": False}, daemon=True)
             self._thread.start()
             return None
         self.join_async()                  # drain any async job first
@@ -302,7 +309,8 @@ class Mesher:
                                   materialize=materialize)
 
     def _extract_impl(self, voxel_resolution: int, max_std: float,
-                      fast: bool, no_cache: bool, materialize: bool = True):
+                      fast: bool, no_cache: bool, materialize: bool = True,
+                      drain_deferred: bool = True):
         if self._need_full_remesh and not no_cache:
             # A previous fused extraction truncated its batch; repair by
             # re-meshing everything through the unbounded chunked path.
@@ -312,6 +320,11 @@ class Mesher:
             self._dispatch_fused(voxel_resolution, max_std, fast)
             if not materialize:
                 return None
+            if not drain_deferred:
+                # async worker: fetch this batch only; leftovers roll into
+                # the next cadence extraction
+                self._drain_pending()
+                return self.current_mesh()
             # Materialising extractions drain deferred (budget-truncated)
             # batches to completion.  Each round re-dilates the leftover
             # set, so progress per round can degenerate near the budget —
