@@ -314,6 +314,83 @@ def box_filter_points(pts: jnp.ndarray, normals: jnp.ndarray, valid: jnp.ndarray
     return out_p, out_n, out_c, mask, drop_frac
 
 
+def select_photometric_pixels(cur_intensity, cur_depth, cur_dIdxy,
+                              k: int, min_grad_scale: float,
+                              stride: int = 1):
+    """Fixed-budget sparse pixel selection for the photometric term.
+
+    Picks the ``k`` strided pixels with the largest intensity-gradient
+    magnitude among those with valid depth — the pixels that carry the
+    photometric information (direct sparse odometry's insight).  Runs ONCE
+    per frame; every Gauss-Newton iteration then gathers ``k`` warp
+    samples instead of h*w (the warp gather is the tracker's dominant op
+    on TPU).  With ``k`` >= the number of valid pixels the result is
+    EXACTLY the dense term (same pixels, same normal equations).
+
+    :return: (u, v, i1, d1, gx, gy, valid) — (k,) per-pixel arrays in
+        full-resolution pixel units.
+    """
+    if stride > 1:
+        cur_intensity = cur_intensity[::stride, ::stride]
+        cur_depth = cur_depth[::stride, ::stride]
+        cur_dIdxy = cur_dIdxy[:, ::stride, ::stride]
+    h, w = cur_intensity.shape
+    gx, gy = cur_dIdxy[0], cur_dIdxy[1]
+    grad2 = gx * gx + gy * gy
+    ok = jnp.isfinite(grad2) & (grad2 >= min_grad_scale) \
+        & jnp.isfinite(cur_depth)
+    score = jnp.where(ok, grad2, -1.0).reshape(-1)
+    kk = min(k, h * w)
+    _, idx = jax.lax.top_k(score, kk)
+    valid = score[idx] >= 0.0
+    u = (idx % w).astype(jnp.float32) * stride
+    v = (idx // w).astype(jnp.float32) * stride
+    take = lambda a: jnp.take(a.reshape(-1), idx, mode="clip")
+    return (u, v, take(cur_intensity), take(cur_depth),
+            take(gx), take(gy), valid)
+
+
+def rgb_odometry_sparse(prev_packed, W: int, H: int, pix,
+                        fx, fy, cx, cy, krkinv, kt,
+                        max_depth_delta: float):
+    """Photometric residual + Jacobian at a selected pixel set.
+
+    Same math as ``rgb_odometry`` on (k,) vectors with ONE k-element
+    gather from the packed previous frame.
+
+    :param prev_packed: (H*W,) complex64 = complex(prev_I, prev_D).
+    :param pix: output of :func:`select_photometric_pixels`.
+    :return: (f (k,), J (6,k), ok (k,)).
+    """
+    u, v, i1, d1, gx, gy, valid = pix
+    wz = d1 * (krkinv[2, 0] * u + krkinv[2, 1] * v + krkinv[2, 2]) + kt[2]
+    u0 = jnp.round((d1 * (krkinv[0, 0] * u + krkinv[0, 1] * v + krkinv[0, 2])
+                    + kt[0]) / wz).astype(jnp.int32)
+    v0 = jnp.round((d1 * (krkinv[1, 0] * u + krkinv[1, 1] * v + krkinv[1, 2])
+                    + kt[1]) / wz).astype(jnp.int32)
+    inb = (u0 >= 0) & (u0 < W) & (v0 >= 0) & (v0 < H)
+    u0c = jnp.clip(u0, 0, W - 1)
+    v0c = jnp.clip(v0, 0, H - 1)
+    got = jnp.take(prev_packed, v0c * W + u0c, mode="clip")
+    i0 = jnp.real(got)
+    d0 = jnp.imag(got)
+    ok = valid & inb & jnp.isfinite(d0) & (d0 > 0.0) \
+        & (jnp.abs(wz - d0) <= max_depth_delta)
+    f = jnp.where(ok, i1 - i0, 0.0)
+    Gx = d0 * (u0c.astype(jnp.float32) - cx) / fx
+    Gy = d0 * (v0c.astype(jnp.float32) - cy) / fy
+    Gz = jnp.maximum(d0, 1e-6)
+    p0 = gx * fx / Gz
+    p1 = gy * fy / Gz
+    p2 = -(p0 * Gx + p1 * Gy) / Gz
+    J = jnp.stack([p0, p1, p2,
+                   -Gz * p1 + Gy * p2,
+                   Gz * p0 - Gx * p2,
+                   -Gy * p0 + Gx * p1], axis=0)          # (6, k)
+    J = jnp.where(ok[None, :], J, 0.0)
+    return f, J, ok
+
+
 def rgb_odometry(prev_intensity, prev_depth, cur_intensity, cur_depth,
                  cur_dIdxy, fx, fy, cx, cy, krkinv, kt,
                  min_grad_scale: float, max_depth_delta: float,

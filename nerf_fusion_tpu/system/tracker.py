@@ -70,6 +70,11 @@ class TrackerConfig(NamedTuple):
     motion_weight: float
     rgb_stride: int
     scale_level_intrinsics: bool
+    # sparse photometric term: fixed top-k gradient-selected pixel budget
+    # per pyramid level (0 = dense reference behaviour).  Selection runs
+    # once per frame; each GN iteration then gathers k warp samples
+    # instead of h*w.  Exact when k covers every valid pixel.
+    rgb_pixel_budget: int = 0
     # frontend metric thresholds (reference defaults are VGA-tuned;
     # configurable via a tracking ``preprocess:`` block for other sensors)
     outlier_radius: float = 0.05
@@ -109,6 +114,7 @@ class TrackerConfig(NamedTuple):
             # rgb: {scale_intrinsics: true} for the corrected 0.5^level
             # scaling.
             scale_level_intrinsics=bool(rgb.get("scale_intrinsics", False)),
+            rgb_pixel_budget=int(rgb.get("pixel_budget", 0)),
             motion_weight=float(getattr(args, "motion", {}).get("weight", 1.0)
                                 if hasattr(args, "motion") else 1.0),
             outlier_radius=float(pre.get("outlier_radius", 0.05)),
@@ -156,28 +162,42 @@ def _sdf_Hg(map_state, map_cfg, dec_params, dec_cfg, tcfg: TrackerConfig,
 
 
 def _rgb_Hg(tcfg: TrackerConfig, level_data, fx, fy, cx, cy,
-            dR, dt, rgb_weight):
-    """Photometric term at one pyramid level."""
-    prev_i, prev_d, cur_i, cur_d, cur_g = level_data
+            dR, dt, rgb_weight, sparse=None):
+    """Photometric term at one pyramid level.
+
+    ``sparse``: optional (prev_packed, W, H, pix) from the once-per-frame
+    budgeted pixel selection; replaces the dense h*w warp gather with a
+    k-element one."""
     K = jnp.asarray([[fx, 0.0, cx], [0.0, fy, cy], [0.0, 0.0, 1.0]])
     Kinv = jnp.asarray([[1.0 / fx, 0.0, -cx / fx],
                         [0.0, 1.0 / fy, -cy / fy], [0.0, 0.0, 1.0]])
     krkinv = K @ dR @ Kinv
     kt = K @ dt
-    f, J, ok = imgproc.rgb_odometry(prev_i, prev_d, cur_i, cur_d, cur_g,
-                                    fx, fy, cx, cy, krkinv, kt,
-                                    tcfg.min_grad_scale, tcfg.max_depth_delta,
-                                    stride=tcfg.rgb_stride)
+    if sparse is not None:
+        prev_packed, W, H_, pix = sparse
+        f, J, ok = imgproc.rgb_odometry_sparse(
+            prev_packed, W, H_, pix, fx, fy, cx, cy, krkinv, kt,
+            tcfg.max_depth_delta)
+    else:
+        prev_i, prev_d, cur_i, cur_d, cur_g = level_data
+        f, J, ok = imgproc.rgb_odometry(prev_i, prev_d, cur_i, cur_d, cur_g,
+                                        fx, fy, cx, cy, krkinv, kt,
+                                        tcfg.min_grad_scale,
+                                        tcfg.max_depth_delta,
+                                        stride=tcfg.rgb_stride)
     J = -J  # kernel computes d/d(-xi) (reference tracker.py:162)
     m = ok.astype(f.dtype)
     w = _robust_weight(f, tcfg.rgb_robust_kernel, tcfg.rgb_robust_k) * m
     n_valid = jnp.maximum(jnp.sum(m), 1.0)
     scale = rgb_weight / n_valid
-    # J is (6, H, W) plane-major: reduce with image dims in the minor tile
-    # (a (H*W, 6) layout would pad 6 -> 128 lanes, ~20x waste).
-    H = jnp.einsum("ahw,bhw->ab", J * w[None], J, precision=_HI) * scale
-    g = jnp.einsum("ahw,hw->a", J, w * f, precision=_HI) * scale
-    energy = jnp.sum(f * (w * f)) * scale
+    # J is plane-major (6, ...): reduce with the pixel dims in the minor
+    # tile (a (N, 6) layout would pad 6 -> 128 lanes, ~20x waste).
+    J2 = J.reshape(6, -1)
+    f2 = f.reshape(-1)
+    w2 = w.reshape(-1)
+    H = jnp.einsum("an,bn->ab", J2 * w2[None], J2, precision=_HI) * scale
+    g = jnp.einsum("an,n->a", J2, w2 * f2, precision=_HI) * scale
+    energy = jnp.sum(f2 * (w2 * f2)) * scale
     return H, g, energy
 
 
@@ -199,6 +219,26 @@ def track_gauss_newton(map_state, map_cfg, dec_params, dec_cfg, tcfg: TrackerCon
                        fx, fy, cx, cy, rgb_weight):
     """Run the full staged GN schedule; returns (dR, dt, iters_used (G,))."""
 
+    # Budgeted photometric pixel selection: ONCE per frame per used level
+    # (the per-iteration cost is then one k-gather + vector math instead
+    # of the dense h*w warp).  Hoisted out of the while_loops explicitly —
+    # XLA's loop-invariant motion does not reliably lift top_k/gathers.
+    sparse_levels = {}
+    if tcfg.rgb_pixel_budget > 0:
+        used = {int(t[1]) if len(t) > 1 else 0
+                for _, terms in tcfg.iter_config for t in terms
+                if t[0] == "rgb"}
+        for lev in sorted(used):
+            pix = imgproc.select_photometric_pixels(
+                cur_pyr.intensity[lev], cur_pyr.depth[lev],
+                cur_pyr.gradient[lev],
+                tcfg.rgb_pixel_budget, tcfg.min_grad_scale,
+                stride=tcfg.rgb_stride)
+            Hl, Wl = cur_pyr.intensity[lev].shape
+            prev_packed = jax.lax.complex(
+                prev_pyr.intensity[lev], prev_pyr.depth[lev]).reshape(-1)
+            sparse_levels[lev] = (prev_packed, Wl, Hl, pix)
+
     def group_scan(carry_in, group):
         n_iters, terms = group
 
@@ -218,7 +258,8 @@ def track_gauss_newton(map_state, map_cfg, dec_params, dec_cfg, tcfg: TrackerCon
                                   cur_pyr.intensity[lev], cur_pyr.depth[lev],
                                   cur_pyr.gradient[lev])
                     Hr, gr, er = _rgb_Hg(tcfg, level_data, fx * s, fy * s,
-                                         cx * s, cy * s, dR, dt, rgb_weight)
+                                         cx * s, cy * s, dR, dt, rgb_weight,
+                                         sparse=sparse_levels.get(lev))
                     H, g, energy = H + Hr, g + gr, energy + er
                 elif term[0] == "motion":
                     Hm, gm, em = _motion_Hg(tcfg, dR, dt)

@@ -110,3 +110,74 @@ def test_tracker_config_reads_preprocess_block():
     assert t.outlier_min_nb == 6
     assert t.box_filter_size == 0.04
     assert t.outlier_radius == 0.05    # untouched defaults stay reference
+
+
+def test_sparse_photometric_term_matches_dense_when_budget_covers():
+    """With pixel_budget >= every valid pixel, the sparse photometric term
+    selects exactly the dense pixel set: H, g, energy must agree."""
+    import jax
+    import jax.numpy as jnp
+
+    from nerf_fusion_tpu.data.synth import SyntheticSequence
+    from nerf_fusion_tpu.ops import imgproc
+    from nerf_fusion_tpu.system import tracker as T
+    from nerf_fusion_tpu.system.frontend import preprocess_frame
+    from nerf_fusion_tpu.utils.config import dict_to_args
+
+    seq = SyntheticSequence(n_frames=2, width=160, height=120)
+    f0, f1 = seq.render_frame(0), seq.render_frame(1)
+    c = f0.calib
+    kw = dict(depth_cut_min=0.5, depth_cut_max=5.0, point_budget=4096,
+              subsample=0.5)
+    p0 = preprocess_frame(jnp.asarray(f0.rgb, jnp.float32),
+                          jnp.asarray(f0.depth, jnp.float32),
+                          c.fx, c.fy, c.cx, c.cy, **kw)
+    p1 = preprocess_frame(jnp.asarray(f1.rgb, jnp.float32),
+                          jnp.asarray(f1.depth, jnp.float32),
+                          c.fx, c.fy, c.cx, c.cy, **kw)
+
+    base = dict(iter_config=[{"n": 2, "type": [["rgb", 0]]}],
+                sdf={"robust_kernel": "huber", "robust_k": 5.0,
+                     "subsample": 0.5},
+                rgb={"weight": 500.0, "robust_kernel": None, "stride": 1})
+    tcfg_dense = T.TrackerConfig.from_args(dict_to_args(base))
+    lev = 0
+    level_data = (p0.pyramid.intensity[lev], p0.pyramid.depth[lev],
+                  p1.pyramid.intensity[lev], p1.pyramid.depth[lev],
+                  p1.pyramid.gradient[lev])
+    import numpy as np
+    rng = np.random.RandomState(0)
+    from nerf_fusion_tpu.utils import se3_jax as sj
+    eR, et = sj.se3_exp(jnp.asarray(rng.randn(6) * 0.01, jnp.float32))
+
+    Hd, gd, ed = T._rgb_Hg(tcfg_dense, level_data, c.fx, c.fy, c.cx, c.cy,
+                           eR, et, jnp.asarray(500.0))
+
+    Hl, Wl = p1.pyramid.intensity[lev].shape
+    pix = imgproc.select_photometric_pixels(
+        p1.pyramid.intensity[lev], p1.pyramid.depth[lev],
+        p1.pyramid.gradient[lev], Hl * Wl, 0.0, stride=1)
+    prev_packed = jax.lax.complex(p0.pyramid.intensity[lev],
+                                  p0.pyramid.depth[lev]).reshape(-1)
+    Hs, gs, es = T._rgb_Hg(tcfg_dense, None, c.fx, c.fy, c.cx, c.cy,
+                           eR, et, jnp.asarray(500.0),
+                           sparse=(prev_packed, Wl, Hl, pix))
+    np.testing.assert_allclose(np.asarray(Hs), np.asarray(Hd),
+                               rtol=2e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gs), np.asarray(gd),
+                               rtol=2e-4, atol=1e-5)
+    np.testing.assert_allclose(float(es), float(ed), rtol=2e-4)
+
+    # a REAL budget (1/4 of the pixels) still produces a system whose GN
+    # step points the same way (measured cos 0.99 here; degrades ~0.8 by
+    # 1/8 — budgets should stay >= ~1/4 of the strided pixel count)
+    pix2 = imgproc.select_photometric_pixels(
+        p1.pyramid.intensity[lev], p1.pyramid.depth[lev],
+        p1.pyramid.gradient[lev], Hl * Wl // 4, 0.0, stride=1)
+    Hs2, gs2, _ = T._rgb_Hg(tcfg_dense, None, c.fx, c.fy, c.cx, c.cy,
+                            eR, et, jnp.asarray(500.0),
+                            sparse=(prev_packed, Wl, Hl, pix2))
+    sd = np.linalg.solve(np.asarray(Hd) + 1e-9 * np.eye(6), -np.asarray(gd))
+    ss = np.linalg.solve(np.asarray(Hs2) + 1e-9 * np.eye(6), -np.asarray(gs2))
+    cos = sd @ ss / (np.linalg.norm(sd) * np.linalg.norm(ss) + 1e-12)
+    assert cos > 0.95, cos
