@@ -38,13 +38,14 @@ class Preprocessed(NamedTuple):
 
 @functools.partial(jax.jit, static_argnames=(
     "point_budget", "subsample", "outlier_radius", "outlier_min_nb",
-    "normal_radius", "normal_min_nb", "box_filter_size"))
+    "normal_radius", "normal_min_nb", "box_filter_size", "box_filter_exact"))
 def preprocess_frame(rgb, depth, fx, fy, cx, cy,
                      depth_cut_min, depth_cut_max, point_budget: int,
                      subsample: float = 0.5, depth_scale=1.0,
                      outlier_radius: float = 0.05, outlier_min_nb: int = 16,
                      normal_radius: float = 0.1, normal_min_nb: int = 5,
-                     box_filter_size: float = 0.02):
+                     box_filter_size: float = 0.02,
+                     box_filter_exact: bool = False):
     """rgb (H,W,3), depth (H,W) -> Preprocessed.
 
     ``rgb`` may be float32 in [0,1] or raw uint8; ``depth`` float32 metres
@@ -120,7 +121,9 @@ def preprocess_frame(rgb, depth, fx, fy, cx, cy,
     else:
         rgb_pc = rgb[::4, ::4]
     flat_c = rgb_pc.reshape(-1, 3)
-    bp, bn, bc, bm, drop = imgproc.box_filter_points(
+    box_fn = (imgproc.box_filter_points_exact if box_filter_exact
+              else imgproc.box_filter_points)
+    bp, bn, bc, bm, drop = box_fn(
         flat_p, flat_n, flat_v, voxel_size=box_filter_size,
         capacity=point_budget, colors=flat_c)
     return Preprocessed(pyr, bp, bn, bc, bm, drop)

@@ -95,8 +95,10 @@ class FusionPipeline:
             frame = next(sequence)
             logging.info("Frame ID = %d", i)
             self.process_frame(frame, i, use_gt_pose=use_gt_pose)
-        # final full-quality mesh
-        with self.timer.scope("mesh"):
+        # final full-quality mesh (separate stage: it materialises + drains
+        # deferred batches, so lumping it into the cadence "mesh" stat hides
+        # where the time goes)
+        with self.timer.scope("final_mesh"):
             self.mesher.extract(self.args.resolution,
                                 max_std=getattr(self.args, "max_std", 0.15))
         poses = self.trajectory()

@@ -82,6 +82,9 @@ class TrackerConfig(NamedTuple):
     normal_radius: float = 0.1
     normal_min_nb: int = 5
     box_filter_size: float = 0.02
+    # exact (sort-based) box filter: zero hash drops, ~9 ms/frame extra
+    # (evaluation-run opt-in; imgproc.box_filter_points_exact)
+    box_filter_exact: bool = False
 
     @staticmethod
     def from_args(args) -> "TrackerConfig":
@@ -122,6 +125,7 @@ class TrackerConfig(NamedTuple):
             normal_radius=float(pre.get("normal_radius", 0.1)),
             normal_min_nb=int(pre.get("normal_min_nb", 5)),
             box_filter_size=float(pre.get("box_filter_size", 0.02)),
+            box_filter_exact=bool(pre.get("box_filter_exact", False)),
         )
 
 
@@ -339,7 +343,8 @@ def fused_frame_step(map_state, map_cfg, dec_params, dec_cfg,
                            outlier_min_nb=tcfg.outlier_min_nb,
                            normal_radius=tcfg.normal_radius,
                            normal_min_nb=tcfg.normal_min_nb,
-                           box_filter_size=tcfg.box_filter_size)
+                           box_filter_size=tcfg.box_filter_size,
+                           box_filter_exact=tcfg.box_filter_exact)
     k = gn_point_budget
     pose_R, pose_t, rgb_weight, n_unstable, iters = track_and_update(
         map_state, map_cfg, dec_params, dec_cfg, tcfg,
@@ -485,7 +490,8 @@ class SDFTracker:
                                 outlier_min_nb=t.outlier_min_nb,
                                 normal_radius=t.normal_radius,
                                 normal_min_nb=t.normal_min_nb,
-                                box_filter_size=t.box_filter_size)
+                                box_filter_size=t.box_filter_size,
+                                box_filter_exact=t.box_filter_exact)
 
     def track_camera(self, rgb, depth, calib, set_pose: Isometry = None,
                      depth_cut=(0.5, 5.0)):

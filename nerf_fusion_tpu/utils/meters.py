@@ -67,6 +67,7 @@ class StageTimer:
     def __init__(self):
         self.totals = OrderedDict()
         self.counts = OrderedDict()
+        self.maxes = OrderedDict()
         self._start = {}
 
     def start(self, stage: str):
@@ -76,6 +77,7 @@ class StageTimer:
         dt = time.perf_counter() - self._start.pop(stage)
         self.totals[stage] = self.totals.get(stage, 0.0) + dt
         self.counts[stage] = self.counts.get(stage, 0) + 1
+        self.maxes[stage] = max(self.maxes.get(stage, 0.0), dt)
         return dt
 
     class _Scope:
@@ -94,6 +96,7 @@ class StageTimer:
     def summary(self) -> dict:
         return {
             stage: {"total_s": self.totals[stage], "count": self.counts[stage],
-                    "mean_ms": 1e3 * self.totals[stage] / max(self.counts[stage], 1)}
+                    "mean_ms": 1e3 * self.totals[stage] / max(self.counts[stage], 1),
+                    "max_ms": 1e3 * self.maxes.get(stage, 0.0)}
             for stage in self.totals
         }
