@@ -30,7 +30,9 @@ def build_sequence(args):
     # device-resident sequences don't need one.
     if getattr(args, "prefetch", True) and hasattr(seq, "load_frame"):
         from nerf_fusion_tpu.data.prefetch import PrefetchSequence
-        seq = PrefetchSequence(seq, depth=4, workers=2)
+        seq = PrefetchSequence(seq, depth=4, workers=2,
+                               upload=bool(getattr(args, "prefetch_upload",
+                                                   True)))
     return seq
 
 

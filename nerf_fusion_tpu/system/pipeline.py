@@ -47,6 +47,9 @@ class FusionPipeline:
         self.tracker = SDFTracker(self.map, args.tracking, point_budget=budget)
         self.timer = StageTimer()
         self.poses = []
+        # per-call stage prints for perf forensics (tunnel walls vary 10x,
+        # so aggregate means hide which CALL was slow)
+        self.verbose_timing = bool(getattr(args, "verbose_timing", False))
 
     def process_frame(self, frame, frame_id: int, use_gt_pose: bool = False):
         """One frame through the pipeline. Sync-free: the returned pose is a
@@ -59,29 +62,38 @@ class FusionPipeline:
         elif use_gt_pose:
             set_pose = frame.gt_pose
 
-        with self.timer.scope("track"):
-            pose = self.tracker.track_camera(frame.rgb, frame.depth, frame.calib,
-                                             set_pose=set_pose, depth_cut=depth_cut)
+        self.timer.start("track")
+        pose = self.tracker.track_camera(frame.rgb, frame.depth, frame.calib,
+                                         set_pose=set_pose, depth_cut=depth_cut)
+        dt_track = self.timer.stop("track")
         self.poses.append(pose)
+        if self.verbose_timing:
+            logging.info("frame %d track %.0f ms", frame_id, 1e3 * dt_track)
 
         if frame_id % self.args.integrate_interval == 0:
             pts, nrm, mask = self.tracker.last_processed_pc
-            with self.timer.scope("integrate"):
-                self.map.integrate_keyframe(
-                    pts, nrm, valid=mask, pose=pose,
-                    do_optimize=bool(getattr(self.args, "do_optimize", False)),
-                    async_optimize=bool(getattr(self.args, "run_async", False)))
+            self.timer.start("integrate")
+            self.map.integrate_keyframe(
+                pts, nrm, valid=mask, pose=pose,
+                do_optimize=bool(getattr(self.args, "do_optimize", False)),
+                async_optimize=bool(getattr(self.args, "run_async", False)))
+            dt = self.timer.stop("integrate")
+            if self.verbose_timing:
+                logging.info("frame %d integrate %.0f ms", frame_id, 1e3 * dt)
         if frame_id % self.args.meshing_interval == 0:
-            with self.timer.scope("mesh"):
-                # Sync mode defers the D2H fetch (materialize=False): the
-                # extraction is dispatched in program order but triangles
-                # are pulled on the next read, keeping the frame loop free
-                # of blocking transfers.
-                self.mesher.extract(
-                    self.args.resolution,
-                    max_std=getattr(self.args, "max_std", 0.15),
-                    extract_async=bool(getattr(self.args, "run_async", False)),
-                    materialize=False)
+            self.timer.start("mesh")
+            # Sync mode defers the D2H fetch (materialize=False): the
+            # extraction is dispatched in program order but triangles
+            # are pulled on the next read, keeping the frame loop free
+            # of blocking transfers.
+            self.mesher.extract(
+                self.args.resolution,
+                max_std=getattr(self.args, "max_std", 0.15),
+                extract_async=bool(getattr(self.args, "run_async", False)),
+                materialize=False)
+            dt = self.timer.stop("mesh")
+            if self.verbose_timing:
+                logging.info("frame %d mesh %.0f ms", frame_id, 1e3 * dt)
         return pose
 
     def trajectory(self):

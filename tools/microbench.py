@@ -1,0 +1,183 @@
+#!/usr/bin/env python3
+"""Component device-time microbench for the lr-kt flagship workload.
+
+Each op is timed as min-over-repeats of (dispatch burst + one-element D2H
+sync); the tunnel's load variance inflates means but the MINIMUM tracks
+true device time (see MEMORY tpu-tunnel-perf-variance).  Inputs are
+device-resident so H2D is measured separately, once.
+
+    python tools/microbench.py [--json out.json]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
+
+import numpy as np
+
+RESULTS = {}
+
+
+def bench(name, fn, repeats=6, burst=4):
+    import jax
+    fn()  # compile/warm
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        out = None
+        for _ in range(burst):
+            out = fn()
+        leaf = jax.tree_util.tree_leaves(out)[0]
+        np.asarray(leaf).ravel()[:1]
+        best = min(best, (time.perf_counter() - t0) / burst)
+    RESULTS[name] = best * 1e3
+    print(f"{name:48s} {best * 1e3:9.2f} ms")
+    return best
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config", default="configs/fusion-lr-kt-fast.yaml")
+    ap.add_argument("--data", default="output/lrkt_data/lr-kt")
+    ap.add_argument("--json", default=None)
+    cli = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from nerf_fusion_tpu.data.icl_nuim import ICLNUIMSequence
+    from nerf_fusion_tpu.models.io import load_model
+    from nerf_fusion_tpu.system.pipeline import FusionPipeline
+    from nerf_fusion_tpu.system import mesher as mesher_mod
+    from nerf_fusion_tpu.system.frontend import preprocess_frame
+    from nerf_fusion_tpu.system.tracker import (fused_frame_step,
+                                                track_gauss_newton)
+    from nerf_fusion_tpu.utils import config as exp_util
+    from nerf_fusion_tpu.utils.se3 import Isometry, Quaternion
+
+    print("device:", jax.devices()[0])
+    args = exp_util.parse_config_yaml(Path(cli.config))
+    model, margs = load_model(args.training_hypers, args.using_epoch)
+    args.model = margs
+    args.mapping = exp_util.dict_to_args(args.mapping)
+    args.tracking = exp_util.dict_to_args(args.tracking)
+    tq = args.sequence_kwargs["first_tq"]
+    args.first_iso = Isometry(q=Quaternion(array=tq[3:]), t=tq[:3])
+
+    seq = ICLNUIMSequence(path=cli.data, start_frame=0, end_frame=-1,
+                          first_tq=tq, load_gt=True)
+    n_warm = 22
+    frames = [next(seq) for _ in range(n_warm)]
+    pipe = FusionPipeline(model, args)
+    t0 = time.perf_counter()
+    for i, f in enumerate(frames):
+        pipe.process_frame(f, i)
+    pipe.trajectory()
+    print(f"warmup {n_warm} frames: {time.perf_counter() - t0:.1f} s")
+
+    tr, f = pipe.tracker, frames[-1]
+    calib = f.calib
+    rgb_host, depth_host = np.asarray(f.rgb), np.asarray(f.depth)
+
+    # H2D (the per-frame transfer the prefetch-upload thread hides)
+    def h2d():
+        return jax.device_put(rgb_host), jax.device_put(depth_host)
+
+    bench("H2D rgb+depth (uint8+uint16, 1.5 MB)", h2d)
+
+    rgb_dev, depth_dev = h2d()
+    t = tr.tcfg
+
+    def pre():
+        return preprocess_frame(
+            rgb_dev, depth_dev, calib.fx, calib.fy, calib.cx, calib.cy,
+            0.5, 5.0, tr.point_budget, subsample=t.subsample,
+            depth_scale=float(getattr(calib, "dscale", 1.0)),
+            outlier_radius=t.outlier_radius, outlier_min_nb=t.outlier_min_nb,
+            normal_radius=t.normal_radius, normal_min_nb=t.normal_min_nb,
+            box_filter_size=t.box_filter_size,
+            box_filter_exact=t.box_filter_exact).points
+
+    bench("preprocess_frame (device inputs)", pre)
+
+    pre_full = tr.preprocess(rgb_dev, depth_dev, calib)
+    lastR, lastt = tr.all_pd_pose[-1]
+    k = tr.gn_point_budget
+
+    def gn():
+        dR, dt, it = track_gauss_newton(
+            pipe.map.state, pipe.map.cfg, pipe.map.model.decoder_params,
+            pipe.map.model.decoder_config, tr.tcfg, tr.prev_pyr,
+            pre_full.pyramid, pre_full.points[:k], pre_full.mask[:k],
+            lastR, lastt, jnp.eye(3), jnp.zeros(3),
+            calib.fx, calib.fy, calib.cx, calib.cy, tr.rgb_weight)
+        return dt
+
+    bench("track_gauss_newton", gn)
+
+    def full_step():
+        (p2, pose_R, pose_t, w, nu, it, plog, pcnt) = fused_frame_step(
+            pipe.map.state, pipe.map.cfg, pipe.map.model.decoder_params,
+            pipe.map.model.decoder_config, tr.tcfg, tr.prev_pyr,
+            rgb_dev, depth_dev,
+            calib.fx, calib.fy, calib.cx, calib.cy, 0.5, 5.0,
+            tr.point_budget, tr.gn_point_budget, lastR, lastt,
+            tr.rgb_weight, tr.n_unstable, tr._pose_log, tr._pose_count,
+            depth_scale=float(getattr(calib, "dscale", 1.0)))
+        tr._pose_log = plog
+        return pose_t
+
+    bench("fused_frame_step (device frame)", full_step)
+
+    pts, nrm, mask = tr.last_processed_pc
+    pose = tr.all_pd_pose[-1]
+    bench("integrate_keyframe",
+          lambda: (pipe.map.integrate_keyframe(pts, nrm, valid=mask,
+                                               pose=pose),
+                   pipe.map.state.n_occupied)[1])
+
+    vmap = pipe.map
+    upd_all = jnp.ones((vmap.cfg.latent_capacity,), bool)
+    r = int(args.resolution)
+    reeval = max(1024, int(mesher_mod.MESH_CHUNK * (2 * r) ** 3
+                           * pipe.mesher.reeval_fraction))
+
+    def extract():
+        res = mesher_mod.fused_extract(
+            vmap.state, upd_all, vmap.cfg, vmap.model.decoder_params,
+            vmap.model.decoder_config, r, True, pipe.mesher.mesh_budget,
+            pipe.mesher.fused_tri_budget, reeval, 0.15)
+        return res[0].n_triangles
+
+    bench("fused_extract (cadence batch)", extract, repeats=4, burst=2)
+
+    res = mesher_mod.fused_extract(
+        vmap.state, upd_all, vmap.cfg, vmap.model.decoder_params,
+        vmap.model.decoder_config, r, True, pipe.mesher.mesh_budget,
+        pipe.mesher.fused_tri_budget, reeval, 0.15)
+    tri = res[0].vertices
+    t0 = time.perf_counter()
+    v = np.asarray(tri)
+    dt = time.perf_counter() - t0
+    RESULTS["triangle_d2h_MBps"] = v.nbytes / dt / 1e6
+    print(f"triangle D2H {v.nbytes / 1e6:.1f} MB: {dt * 1e3:.0f} ms "
+          f"({v.nbytes / dt / 1e6:.1f} MB/s)")
+
+    steady = (RESULTS["fused_frame_step (device frame)"]
+              + RESULTS["integrate_keyframe"] / 20.0
+              + RESULTS["fused_extract (cadence batch)"] / 20.0)
+    RESULTS["steady_state_ms_per_frame"] = steady
+    print(f"\nsteady-state device time/frame: {steady:.1f} ms "
+          f"-> {1e3 / steady:.1f} fps ceiling")
+    if cli.json:
+        Path(cli.json).write_text(json.dumps(RESULTS, indent=2))
+
+
+if __name__ == "__main__":
+    main()
