@@ -220,6 +220,21 @@ def train(args, max_steps_per_epoch: int = None, mesh=None, seed: int = 0,
         enc_opt_state = jax.tree_util.tree_map(
             lambda x: replicate(mesh, {"x": x})["x"], enc_opt_state)
 
+    # Device-resident data path (opt-in `device_data: true`): upload the
+    # packed pools to HBM once and sample each batch in a jitted device
+    # program — the per-step host->device traffic drops from ~4.4 MB (the
+    # assembled batch) to the (B,) index vector.  Single-device only: under
+    # a dp mesh the batch must be host-sharded across processes instead.
+    dev_ds = None
+    if bool(getattr(args, "device_data", False)):
+        if mesh is not None:
+            logging.warning("device_data ignored under a device mesh")
+        else:
+            from ..data.device_lif import DeviceLifDataset
+            dev_ds = DeviceLifDataset.from_dataset(dataset)
+            logging.info("device-resident LIF pools: %.2f GB in HBM",
+                         dev_ds.hbm_bytes / 1e9)
+
     rng = jax.random.PRNGKey(seed + (resume_epoch or 0))
     it = (start_epoch - 1) * max(len(dataset) // args.batch_size, 1)
     t0 = time.time()
@@ -229,8 +244,21 @@ def train(args, max_steps_per_epoch: int = None, mesh=None, seed: int = 0,
         meter = AverageMeter()
         running = RunningAverageMeter(alpha=0.3)
         last_logs = None
-        for bi, (sdf_b, surf_b, idx_b) in enumerate(
-                batch_iterator(dataset, args.batch_size, seed=seed + epoch)):
+        if dev_ds is not None:
+            perm = np.random.RandomState(seed + epoch).permutation(len(dataset))
+            n_steps = len(dataset) // args.batch_size
+            def batches():
+                nonlocal rng
+                for s in range(n_steps):
+                    rng, kb = jax.random.split(rng)
+                    idxs = perm[s * args.batch_size:(s + 1) * args.batch_size]
+                    sdf_b, surf_b = dev_ds.sample(kb, idxs)
+                    yield sdf_b, surf_b, idxs
+            batch_iter = batches()
+        else:
+            batch_iter = batch_iterator(dataset, args.batch_size,
+                                        seed=seed + epoch)
+        for bi, (sdf_b, surf_b, idx_b) in enumerate(batch_iter):
             if max_steps_per_epoch is not None and bi >= max_steps_per_epoch:
                 break
             batch = (jnp.asarray(sdf_b), jnp.asarray(surf_b))
