@@ -58,16 +58,29 @@ FPS_FLOOR_SYNTH = float(os.environ.get("BENCH_FPS_FLOOR_SYNTH", 20.0))
 
 
 def _ensure_lrkt_data():
-    """Export the hermetic 120-frame ICL-NUIM-format sequence once."""
-    if (LRKT_DATA / "groundtruth.freiburg").exists():
-        return
-    from export_icl_format import export_sequence
+    """Export the hermetic 120-frame ICL-NUIM-format sequence once.
 
+    Returns the TRUE first_tq of the exported trajectory: reading with it
+    recovers the original synthetic-scene world frame exactly, which the
+    mesh |SDF| oracle requires (the stock config first_tq would shift the
+    map by a rigid transform — invisible to ATE, fatal to the oracle).
+    """
     from nerf_fusion_tpu.data.synth import SyntheticSequence
 
-    logging.warning("exporting lr-kt-format bench sequence to %s", LRKT_DATA)
-    seq = SyntheticSequence(n_frames=120, width=640, height=480)
-    export_sequence(seq, LRKT_DATA)
+    tq_path = LRKT_DATA / "first_tq.json"
+    if not (LRKT_DATA / "groundtruth.freiburg").exists():
+        from export_icl_format import export_sequence
+
+        logging.warning("exporting lr-kt-format bench sequence to %s",
+                        LRKT_DATA)
+        seq = SyntheticSequence(n_frames=120, width=640, height=480)
+        first_tq = export_sequence(seq, LRKT_DATA)
+        tq_path.write_text(json.dumps([float(x) for x in first_tq]))
+    if not tq_path.exists():     # pre-existing export: poses are analytic
+        p1 = SyntheticSequence(n_frames=120)._poses[1]
+        tq_path.write_text(json.dumps(
+            [float(x) for x in (*p1.t, *p1.q.q)]))
+    return json.loads(tq_path.read_text())
 
 
 def _build(config_path, seq):
@@ -107,15 +120,30 @@ def _mesh_abs_sdf_error(mesher, sample: int = 200000):
     return float(jnp.mean(jnp.abs(scene_sdf(jnp.asarray(verts)))))
 
 
+def _sync_all(pipe):
+    """Drain the device queue COMPLETELY: the pose log covers every track
+    program (donation chain) and the map state covers integrations, but
+    cadence mesh extractions are dependency-free — fetch their triangle
+    counts too so no extraction work leaks past the timed window."""
+    import jax
+
+    pipe.trajectory()
+    with pipe.mesher._lock:
+        pending = list(pipe.mesher._pending)
+    if pending:
+        jax.device_get([p.result.n_triangles for p in pending])
+
+
 def run_lrkt():
     import jax
 
     from nerf_fusion_tpu.data.icl_nuim import ICLNUIMSequence
     from nerf_fusion_tpu.utils.evaluate import ate_rmse
 
-    _ensure_lrkt_data()
+    tq = _ensure_lrkt_data()
     pipe, args = _build(REPO / "configs" / "fusion-lr-kt-fast.yaml", None)
-    tq = args.sequence_kwargs["first_tq"]
+    from nerf_fusion_tpu.utils.se3 import Isometry, Quaternion
+    args.first_iso = Isometry(q=Quaternion(array=tq[3:]), t=tq[:3])
     seq = ICLNUIMSequence(path=str(LRKT_DATA), start_frame=0, end_frame=-1,
                           first_tq=tq, load_gt=True)
     n_total = min(len(seq), N_WARMUP + N_BENCH + 10)
@@ -134,10 +162,12 @@ def run_lrkt():
         pipe.process_frame(frames[i], i)
     pipe.trajectory()                      # sync: empty the device queue
 
+    _sync_all(pipe)
+
     t0 = time.perf_counter()
     for i in range(N_WARMUP, N_WARMUP + N_BENCH):
         pipe.process_frame(frames[i], i)
-    pipe.trajectory()                      # sync: timed frames fully done
+    _sync_all(pipe)                        # sync: timed frames fully done
     fps = N_BENCH / (time.perf_counter() - t0)
 
     for i in range(N_WARMUP + N_BENCH, n_total):
@@ -166,11 +196,11 @@ def run_synth():
     frames = [next(seq) for _ in range(n)]
     for i in range(N_WARMUP):
         pipe.process_frame(frames[i], i)
-    pipe.trajectory()
+    _sync_all(pipe)
     t0 = time.perf_counter()
     for i in range(N_WARMUP, N_WARMUP + N_BENCH):
         pipe.process_frame(frames[i], i)
-    pipe.trajectory()
+    _sync_all(pipe)
     fps = N_BENCH / (time.perf_counter() - t0)
     pipe.mesher.extract(args.resolution,
                         max_std=getattr(args, "max_std", 0.15))

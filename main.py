@@ -52,8 +52,10 @@ def main(argv=None):
     logging.basicConfig(level=logging.INFO)
 
     if getattr(args, "vis", False):
-        logging.warning("Interactive visualization is unavailable headless; "
-                        "writing mesh/trajectory artifacts to %s instead", args.output)
+        logging.info("Headless visualization: periodic mesh/trajectory/"
+                     "voxel-block previews every %s frames under %s/preview",
+                     getattr(args, "vis_interval", args.meshing_interval),
+                     args.output)
 
     model, model_args = load_model(args.training_hypers, args.using_epoch)
     args.model = model_args

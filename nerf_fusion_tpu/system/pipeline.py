@@ -100,13 +100,36 @@ class FusionPipeline:
         """Materialise the pose chain as host Isometries (one sync point)."""
         return self.tracker.pose_history()
 
+    def write_preview(self, preview_dir, frame_id: int):
+        """Online inspection artifacts (the reference's --vis Open3D GUI
+        stepped per frame, main.py:136-155; headless equivalent: periodic
+        mesh/trajectory/voxel-block snapshots viewable in MeshLab).
+        Costs a mesh drain D2H per call — gated behind --vis."""
+        from ..utils import vis as vis_util
+        from ..utils.evaluate import save_tum_trajectory
+
+        preview_dir = Path(preview_dir)
+        preview_dir.mkdir(parents=True, exist_ok=True)
+        self.mesher.save_ply(preview_dir / f"mesh_{frame_id:05d}.ply")
+        save_tum_trajectory(preview_dir / f"trajectory_{frame_id:05d}.txt",
+                            self.trajectory())
+        blocks = self.map.get_fast_preview_visuals()[0]
+        vis_util.save_lineset_ply(
+            preview_dir / f"blocks_{frame_id:05d}.ply", blocks)
+
     def run(self, sequence, use_gt_pose: bool = False, max_frames: int = None,
             output_dir=None):
         n = len(sequence) if max_frames is None else min(max_frames, len(sequence))
+        vis_on = bool(getattr(self.args, "vis", False)) and output_dir is not None
+        vis_interval = int(getattr(self.args, "vis_interval",
+                                   self.args.meshing_interval))
         for i in range(n):
             frame = next(sequence)
             logging.info("Frame ID = %d", i)
             self.process_frame(frame, i, use_gt_pose=use_gt_pose)
+            if vis_on and i % vis_interval == 0 and i > 0:
+                with self.timer.scope("vis_preview"):
+                    self.write_preview(Path(output_dir) / "preview", i)
         # final full-quality mesh (separate stage: it materialises + drains
         # deferred batches, so lumping it into the cadence "mesh" stat hides
         # where the time goes)
