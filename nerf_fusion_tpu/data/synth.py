@@ -107,6 +107,9 @@ class SyntheticSequence(RGBDSequence):
         self.gt_trajectory = poses[start_frame:end_frame] if load_gt else None
         self._poses = poses[start_frame:end_frame]
         self.first_iso = self._poses[0]
+        # analytic ground-truth SDF of the rendered scene: consumers
+        # (pipeline stats, bench) use it as an exact mesh-quality oracle
+        self.scene_sdf = scene_sdf
 
     def __len__(self):
         return len(self._poses)

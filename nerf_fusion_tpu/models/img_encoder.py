@@ -24,6 +24,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def _conv_init(key, c_in, c_out, k):
@@ -185,6 +186,144 @@ def apply_conv_encoder(params, cfg: ConvEncoderConfig, images):
     return x
 
 
+# -- ResNet-18/34 backbone (reference SpatialEncoder parity) ----------------
+# The reference's SpatialEncoder wraps a torchvision ImageNet-pretrained
+# ResNet-18/34 (/root/reference/trainer/img_encoder.py:129-293).  This
+# environment has no torchvision and no network, so the weights cannot be
+# SHIPPED — but the architecture and a torch state-dict importer are:
+# `init_resnet_backbone` builds the exact BasicBlock topology (randomly
+# initialised) and `import_torch_backbone` loads `resnet18/34.pth` weights
+# when the user provides them.  BN runs frozen (eval-mode running stats),
+# the standard choice for feature-extraction backbones.
+
+
+class ResNetBackboneConfig(NamedTuple):
+    depth: int = 18                  # 18 or 34 (BasicBlock counts below)
+    num_stages: int = 4              # feature stages concatenated (1..4)
+    latent_size: int = 512           # 64+64+128+256 at num_stages=4
+
+
+_RESNET_BLOCKS = {18: (2, 2, 2, 2), 34: (3, 4, 6, 3)}
+
+
+def _bn_init(c):
+    return {"scale": jnp.ones((c,)), "bias": jnp.zeros((c,)),
+            "mean": jnp.zeros((c,)), "var": jnp.ones((c,))}
+
+
+def _bn_apply(p, x, eps=1e-5):
+    inv = jax.lax.rsqrt(p["var"] + eps) * p["scale"]
+    return x * inv[None, :, None, None] + (
+        p["bias"] - p["mean"] * inv)[None, :, None, None]
+
+
+def _conv_nobias_init(key, c_in, c_out, k):
+    fan_in = c_in * k * k
+    w = jax.random.normal(key, (c_out, c_in, k, k)) * math.sqrt(2.0 / fan_in)
+    return {"w": w}
+
+
+def _conv_nobias(p, x, stride=1, pad=1):
+    # torch-style SYMMETRIC padding (XLA "SAME" pads asymmetrically under
+    # stride 2, which would break imported-weight parity)
+    return jax.lax.conv_general_dilated(
+        x, p["w"], (stride, stride), [(pad, pad), (pad, pad)],
+        dimension_numbers=("NCHW", "OIHW", "NCHW"))
+
+
+def init_resnet_backbone(key, cfg: ResNetBackboneConfig = ResNetBackboneConfig()):
+    blocks = _RESNET_BLOCKS[cfg.depth]
+    keys = iter(jax.random.split(key, 64))
+    p = {"conv1": _conv_nobias_init(next(keys), 3, 64, 7), "bn1": _bn_init(64)}
+    c_in = 64
+    for li, (n_blocks, c_out) in enumerate(zip(blocks, (64, 128, 256, 512)),
+                                           start=1):
+        for bi in range(n_blocks):
+            stride = 2 if (li > 1 and bi == 0) else 1
+            blk = {"conv1": _conv_nobias_init(next(keys), c_in, c_out, 3),
+                   "bn1": _bn_init(c_out),
+                   "conv2": _conv_nobias_init(next(keys), c_out, c_out, 3),
+                   "bn2": _bn_init(c_out)}
+            if stride != 1 or c_in != c_out:
+                blk["down_conv"] = _conv_nobias_init(next(keys), c_in, c_out, 1)
+                blk["down_bn"] = _bn_init(c_out)
+            p[f"layer{li}.{bi}"] = blk
+            c_in = c_out
+    return p
+
+
+def _basic_block(p, x, stride):
+    idt = x
+    y = _conv_nobias(p["conv1"], x, stride=stride, pad=1)
+    y = jax.nn.relu(_bn_apply(p["bn1"], y))
+    y = _conv_nobias(p["conv2"], y, pad=1)
+    y = _bn_apply(p["bn2"], y)
+    if "down_conv" in p:
+        idt = _bn_apply(p["down_bn"],
+                        _conv_nobias(p["down_conv"], x, stride=stride, pad=0))
+    return jax.nn.relu(y + idt)
+
+
+def apply_resnet_backbone(params, cfg: ResNetBackboneConfig, images):
+    """(B, 3, H, W) -> (B, latent_size, H/2, W/2): per-stage feature maps
+    upsampled to the post-stem resolution and concatenated (the reference
+    SpatialEncoder's latent construction, img_encoder.py:210-254)."""
+    blocks = _RESNET_BLOCKS[cfg.depth]
+    x = _conv_nobias(params["conv1"], images, stride=2, pad=3)
+    x = jax.nn.relu(_bn_apply(params["bn1"], x))
+    feats = [x]
+    if cfg.num_stages > 0:
+        # stem maxpool precedes layer1 (torch resnet); its /2 is undone by
+        # the upsample-concat below
+        x = -jax.lax.reduce_window(-x, jnp.inf, jax.lax.min,
+                                   (1, 1, 3, 3), (1, 1, 2, 2),
+                                   [(0, 0), (0, 0), (1, 1), (1, 1)])
+    for li, n_blocks in enumerate(blocks[:max(cfg.num_stages - 1, 0)],
+                                  start=1):
+        for bi in range(n_blocks):
+            stride = 2 if (li > 1 and bi == 0) else 1
+            x = _basic_block(params[f"layer{li}.{bi}"], x, stride)
+        feats.append(x)
+    h, w = feats[0].shape[2], feats[0].shape[3]
+    up = [feats[0]] + [_resize_bilinear(f, h, w) for f in feats[1:]]
+    return jnp.concatenate(up, axis=1)
+
+
+def import_torch_backbone(state_dict, depth: int = 18):
+    """torch `resnet{18,34}` state dict -> `apply_resnet_backbone` params.
+
+    Accepts a path to a ``.pth`` file or an in-memory mapping of tensors
+    (e.g. ``torchvision.models.resnet18(pretrained=True).state_dict()``
+    saved on a connected machine).  fc/avgpool entries are ignored.
+    """
+    if not hasattr(state_dict, "items"):
+        import torch
+        state_dict = torch.load(state_dict, map_location="cpu",
+                                weights_only=True)
+    sd = {k: jnp.asarray(np.asarray(v.detach() if hasattr(v, "detach")
+                                    else v, dtype=np.float32))
+          for k, v in state_dict.items()}
+
+    def bn(prefix):
+        return {"scale": sd[f"{prefix}.weight"], "bias": sd[f"{prefix}.bias"],
+                "mean": sd[f"{prefix}.running_mean"],
+                "var": sd[f"{prefix}.running_var"]}
+
+    p = {"conv1": {"w": sd["conv1.weight"]}, "bn1": bn("bn1")}
+    for li, n_blocks in enumerate(_RESNET_BLOCKS[depth], start=1):
+        for bi in range(n_blocks):
+            pre = f"layer{li}.{bi}"
+            blk = {"conv1": {"w": sd[f"{pre}.conv1.weight"]},
+                   "bn1": bn(f"{pre}.bn1"),
+                   "conv2": {"w": sd[f"{pre}.conv2.weight"]},
+                   "bn2": bn(f"{pre}.bn2")}
+            if f"{pre}.downsample.0.weight" in sd:
+                blk["down_conv"] = {"w": sd[f"{pre}.downsample.0.weight"]}
+                blk["down_bn"] = bn(f"{pre}.downsample.1")
+            p[pre] = blk
+    return p
+
+
 def make_encoder(enc_type: str = "spatial", key=None, **kwargs):
     """Factory (parity: trainer/__init__.py make_encoder)."""
     key = key if key is not None else jax.random.PRNGKey(0)
@@ -197,4 +336,7 @@ def make_encoder(enc_type: str = "spatial", key=None, **kwargs):
     if enc_type == "conv":
         cfg = ConvEncoderConfig(**kwargs)
         return cfg, init_conv_encoder(key, cfg), apply_conv_encoder
+    if enc_type == "resnet":
+        cfg = ResNetBackboneConfig(**kwargs)
+        return cfg, init_resnet_backbone(key, cfg), apply_resnet_backbone
     raise NotImplementedError(enc_type)

@@ -150,6 +150,20 @@ class FusionPipeline:
                     100 * drops.max())
         if sequence.gt_trajectory is not None and not use_gt_pose:
             results["ate_rmse"] = ate_rmse(poses, sequence.gt_trajectory[:n])
+        # Mesh-quality metric (BASELINE.md:32 parity): sequences exposing a
+        # ground-truth SDF (the synthetic scene) get an exact mean-|SDF|
+        # reconstruction error at the mesh vertices.
+        gt_sdf = getattr(sequence, "scene_sdf", None)
+        if gt_sdf is not None:
+            verts = self.mesher.current_mesh().reshape(-1, 3)
+            if len(verts):
+                if len(verts) > 200000:
+                    sel = np.random.default_rng(0).choice(len(verts), 200000,
+                                                          replace=False)
+                    verts = verts[sel]
+                import jax.numpy as jnp
+                results["mesh_abs_sdf"] = float(
+                    jnp.mean(jnp.abs(gt_sdf(jnp.asarray(verts)))))
         if output_dir is not None:
             output_dir = Path(output_dir)
             output_dir.mkdir(parents=True, exist_ok=True)

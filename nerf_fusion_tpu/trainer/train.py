@@ -21,6 +21,7 @@ from __future__ import annotations
 import functools
 import json
 import logging
+import os
 import time
 from pathlib import Path
 
@@ -28,6 +29,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import optax
+
+# step-progress logging period (0 = off); perf forensics on tunneled chips
+_LOG_STEPS = int(os.environ.get("NERF_TRAIN_LOG_STEPS", "0"))
 
 from ..data.lif_dataset import LifCombinedDataset, LifDataset, batch_iterator
 from ..models import criterion
@@ -272,6 +276,9 @@ def train(args, max_steps_per_epoch: int = None, mesh=None, seed: int = 0,
                 epoch, lr_dec, lr_enc)
             it += 1
             last_logs = logs
+            if _LOG_STEPS and it % _LOG_STEPS == 0:
+                logging.info("step %d (%.2f s/step recent)", it,
+                             (time.time() - t0) / max(it, 1))
             # Fetch loss scalars only every 10 steps: each float() is a
             # device->host sync that would otherwise serialise the step queue.
             if it % 10 == 0:

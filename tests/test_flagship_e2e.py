@@ -62,8 +62,9 @@ def test_flagship_demo_contract(flagship_workdir):
     stats = json.loads((out / "stats.json").read_text())
     assert stats["n_frames"] == N_FRAMES
     # Tracked (not GT-pose) trajectory quality through the full disk-format
-    # reader path; 60-frame run measured 4.8 mm ATE on this data.
-    assert stats["ate_rmse"] < 0.05, stats
+    # reader path; measured 3.9-5.7 mm ATE on this data (gate ~2x measured,
+    # VERDICT r2 item 4 — a 3-8x tracking regression must not ship green).
+    assert stats["ate_rmse"] < 0.012, stats
 
     traj = np.loadtxt(out / "trajectory.txt")
     assert traj.shape == (N_FRAMES, 8)
