@@ -62,9 +62,12 @@ def test_flagship_demo_contract(flagship_workdir):
     stats = json.loads((out / "stats.json").read_text())
     assert stats["n_frames"] == N_FRAMES
     # Tracked (not GT-pose) trajectory quality through the full disk-format
-    # reader path; measured 3.9-5.7 mm ATE on this data (gate ~2x measured,
-    # VERDICT r2 item 4 — a 3-8x tracking regression must not ship green).
-    assert stats["ate_rmse"] < 0.012, stats
+    # reader path.  This config is the REFERENCE-FAITHFUL one (dense term,
+    # full-res intrinsics at every pyramid level — the reference's quirk),
+    # measured 12.0 mm over 30 frames on CPU; gate ~2x measured (VERDICT
+    # r2 item 4 — the old 50 mm gate would let a 4x regression ship).
+    # The corrected fast config measures 3.9-5.7 mm (bench gates at 12 mm).
+    assert stats["ate_rmse"] < 0.025, stats
 
     traj = np.loadtxt(out / "trajectory.txt")
     assert traj.shape == (N_FRAMES, 8)
