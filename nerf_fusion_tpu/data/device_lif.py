@@ -97,9 +97,12 @@ def _sample_batch(pos, pos_off, neg, neg_off, surf, surf_off,
         else:
             R = _axis_rotations([0.0, 0.0, 1.0], 360.0 * u)
         Rt = jnp.swapaxes(R, 1, 2)
-        samples = samples.at[..., :3].set(samples[..., :3] @ Rt)
-        sf = sf.at[..., :3].set(sf[..., :3] @ Rt)
-        sf = sf.at[..., 3:6].set(sf[..., 3:6] @ Rt)
+        # f32 precision: the default TPU matmul is bf16 and a 0.4%-rel
+        # rotation error would leak into the SDF supervision geometry.
+        rot = lambda x: jnp.matmul(x, Rt, precision=jax.lax.Precision.HIGHEST)
+        samples = samples.at[..., :3].set(rot(samples[..., :3]))
+        sf = sf.at[..., :3].set(rot(sf[..., :3]))
+        sf = sf.at[..., 3:6].set(rot(sf[..., 3:6]))
 
     if noise_sigma > 0:
         sf = sf.at[..., :3].add(
