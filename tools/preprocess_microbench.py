@@ -1,11 +1,12 @@
 #!/usr/bin/env python3
 """Per-stage device timing of preprocess_frame at the flagship lr-kt shape.
 
-Times each sub-stage of the preprocessing program in isolation (jitted,
-synced by a 1-element D2H fetch per rep, min over reps — the tunnel-proof
-protocol) to locate the dominant cost inside the measured ~19 ms whole.
+Protocol (MEMORY tpu-tunnel-perf-variance): each op is dispatched in a
+burst, then ONE 1-element D2H sync; time/burst_size amortizes the ~25 ms
+tunnel roundtrip to ~1.6 ms at burst 16; min over repeats rejects tunnel
+load spikes.
 
-Usage: python tools/preprocess_microbench.py [reps]
+Usage: python tools/preprocess_microbench.py [reps] [burst]
 """
 import sys
 import time
@@ -18,10 +19,12 @@ sys.path.insert(0, ".")
 from nerf_fusion_tpu.ops import imgproc  # noqa: E402
 from nerf_fusion_tpu.system import frontend  # noqa: E402
 
-REPS = int(sys.argv[1]) if len(sys.argv) > 1 else 12
+REPS = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+BURST = int(sys.argv[2]) if len(sys.argv) > 2 else 16
 
 H, W = 480, 640
 FX, FY, CX, CY = 481.2, 480.0, 319.5, 239.5
+CAP = 16384
 rng = np.random.default_rng(0)
 depth_np = (1.5 + 0.8 * np.sin(np.linspace(0, 6, H))[:, None]
             + 0.3 * np.cos(np.linspace(0, 9, W))[None, :]).astype(np.float32)
@@ -39,12 +42,12 @@ def bench(name, fn, *args):
     best = 1e9
     for _ in range(REPS):
         t0 = time.perf_counter()
-        out = f(*args)
-        # sync with a real 1-elem D2H (block_until_ready lies via tunnel)
+        for _ in range(BURST):
+            out = f(*args)
         leaf = jax.tree_util.tree_leaves(out)[0]
         np.asarray(leaf.reshape(-1)[0])
-        best = min(best, time.perf_counter() - t0)
-    print(f"{name:42s} {best*1e3:8.2f} ms")
+        best = min(best, (time.perf_counter() - t0) / BURST)
+    print(f"{name:44s} {best*1e3:8.2f} ms")
     return best
 
 
@@ -61,13 +64,12 @@ flat_n = nrm.reshape(3, -1).T
 flat_v = valid.reshape(-1)
 flat_c = rgb[::2, ::2].reshape(-1, 3)
 
-bench("pyramid: resize_half_bilinear 640->320", imgproc.resize_half_bilinear,
+bench("noop (sync floor)", lambda d: d[0, 0] + 1.0, d1)
+bench("resize_half_bilinear 640->320", imgproc.resize_half_bilinear,
       intensity)
-bench("pyramid: resize_half_bilinear 320->160", imgproc.resize_half_bilinear,
-      intensity[::2, ::2])
-bench("pyramid: gradient_xy 640x480", imgproc.gradient_xy, intensity)
-bench("pyramid: full 3-level build", lambda r, d: frontend.preprocess_frame(
-    r, d, FX, FY, CX, CY, 0.1, 8.0, 1)[0], rgb, depth) if False else None
+bench("gradient_xy 640x480", imgproc.gradient_xy, intensity)
+bench("pyramid only (3 lvl i/d/g)", lambda r, d: frontend.preprocess_frame(
+    r, d, FX, FY, CX, CY, 0.1, 8.0, CAP).pyramid.gradient[2], rgb, depth)
 bench("unproject 320x240", imgproc.unproject_depth, d1,
       FX * .5, FY * .5, CX * .5, CY * .5)
 bench("radius_neighbor_count (7x7)", lambda p, v:
@@ -75,17 +77,17 @@ bench("radius_neighbor_count (7x7)", lambda p, v:
 bench("estimate_normals_image (7x7)", lambda p, v:
       imgproc.estimate_normals_image(p, v, radius=0.1, radius_px=3,
                                      min_neighbors=5), pts0, valid)
-bench("count+normals SHARED window stats", lambda p, v:
+bench("count+normals both", lambda p, v:
       imgproc.estimate_normals_image(p, v, radius=0.1, radius_px=3,
                                      min_neighbors=5)
       + (imgproc.radius_neighbor_count(p, v, radius=0.05, radius_px=3),),
       pts0, valid)
 bench("box_filter_points (hash 2^20)", lambda p, n, v, c:
-      imgproc.box_filter_points(p, n, v, voxel_size=0.02, capacity=16384,
+      imgproc.box_filter_points(p, n, v, voxel_size=0.02, capacity=CAP,
                                 colors=c), flat_p, flat_n, flat_v, flat_c)
 bench("box_filter_points_exact (sort)", lambda p, n, v, c:
       imgproc.box_filter_points_exact(p, n, v, voxel_size=0.02,
-                                      capacity=16384, colors=c),
+                                      capacity=CAP, colors=c),
       flat_p, flat_n, flat_v, flat_c)
 bench("preprocess_frame WHOLE", lambda r, d: frontend.preprocess_frame(
-    r, d, FX, FY, CX, CY, 0.1, 8.0, 16384), rgb, depth)
+    r, d, FX, FY, CX, CY, 0.1, 8.0, CAP).points, rgb, depth)
