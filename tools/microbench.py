@@ -1,10 +1,18 @@
 #!/usr/bin/env python3
 """Component device-time microbench for the lr-kt flagship workload.
 
-Each op is timed as min-over-repeats of (dispatch burst + one-element D2H
-sync); the tunnel's load variance inflates means but the MINIMUM tracks
-true device time (see MEMORY tpu-tunnel-perf-variance).  Inputs are
-device-resident so H2D is measured separately, once.
+Protocol (round-3 recalibration): dispatch-burst timing still pays the
+tunnel's per-sync roundtrip (~25-40 ms observed) amortized over the
+burst, which inflated round-2 numbers by up to 4x.  Each op is now timed
+INSIDE a dynamic-trip-count ``fori_loop``: successive iterations are
+data-chained through a carried epsilon folded into a float input (no
+cross-iteration overlap) and every output leaf is sum-reduced into the
+carry (no DCE / slice narrowing), so ``(t[2K]-t[K])/K`` is pure device
+time — the dispatch+sync constant cancels, min-over-repeats rejects
+tunnel load spikes (MEMORY tpu-tunnel-perf-variance).
+
+Host-involved transfers (H2D upload, triangle D2H) keep wall-clock
+timing: the tunnel IS their cost.
 
     python tools/microbench.py [--json out.json]
 """
@@ -24,7 +32,8 @@ import numpy as np
 RESULTS = {}
 
 
-def bench(name, fn, repeats=6, burst=4):
+def wall_time(name, fn, repeats=6, burst=4):
+    """Wall-clock of a host-involved op (transfers): burst + one sync."""
     import jax
     fn()  # compile/warm
     best = float("inf")
@@ -41,6 +50,45 @@ def bench(name, fn, repeats=6, burst=4):
     return best
 
 
+def device_time(name, make_fn, K=16, repeats=5):
+    """True device ms/op of ``make_fn(eps) -> pytree``.
+
+    ``eps`` (traced f32 scalar, ~1e-14) must be folded into a float
+    input of the op so iteration i+1 depends on iteration i's outputs.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    def leaf_contrib(leaf):
+        x = jnp.asarray(leaf)
+        if jnp.issubdtype(x.dtype, jnp.floating):
+            x = jnp.where(jnp.isfinite(x), x, 0.0)
+        return jnp.sum(x).astype(jnp.float32)
+
+    @jax.jit
+    def run(k, eps0):
+        def body(_, acc):
+            out = make_fn(acc)
+            c = sum(leaf_contrib(l) for l in jax.tree_util.tree_leaves(out))
+            return acc + jnp.clip(c * 1e-20, -1e-8, 1e-8)
+        return jax.lax.fori_loop(0, k, body, eps0)
+
+    np.asarray(run(1, np.float32(0.0)))  # compile + warm
+
+    def timed(k):
+        best = float("inf")
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            np.asarray(run(k, np.float32(0.0)))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    ms = (timed(2 * K) - timed(K)) / K * 1e3
+    RESULTS[name] = ms
+    print(f"{name:48s} {ms:9.2f} ms")
+    return ms
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--config", default="configs/fusion-lr-kt-fast.yaml")
@@ -54,6 +102,7 @@ def main():
     from nerf_fusion_tpu.data.icl_nuim import ICLNUIMSequence
     from nerf_fusion_tpu.models.io import load_model
     from nerf_fusion_tpu.system.pipeline import FusionPipeline
+    from nerf_fusion_tpu.system import map as map_mod
     from nerf_fusion_tpu.system import mesher as mesher_mod
     from nerf_fusion_tpu.system.frontend import preprocess_frame
     from nerf_fusion_tpu.system.tracker import (fused_frame_step,
@@ -89,73 +138,75 @@ def main():
     def h2d():
         return jax.device_put(rgb_host), jax.device_put(depth_host)
 
-    bench("H2D rgb+depth (uint8+uint16, 1.5 MB)", h2d)
+    wall_time("H2D rgb+depth (uint8+uint16, 1.5 MB)", h2d)
 
     rgb_dev, depth_dev = h2d()
     t = tr.tcfg
+    dscale = float(getattr(calib, "dscale", 1.0))
 
-    def pre():
-        return preprocess_frame(
-            rgb_dev, depth_dev, calib.fx, calib.fy, calib.cx, calib.cy,
+    device_time(
+        "preprocess_frame (device inputs)",
+        lambda eps: preprocess_frame(
+            rgb_dev, depth_dev, calib.fx + eps, calib.fy, calib.cx, calib.cy,
             0.5, 5.0, tr.point_budget, subsample=t.subsample,
-            depth_scale=float(getattr(calib, "dscale", 1.0)),
+            depth_scale=dscale,
             outlier_radius=t.outlier_radius, outlier_min_nb=t.outlier_min_nb,
             normal_radius=t.normal_radius, normal_min_nb=t.normal_min_nb,
             box_filter_size=t.box_filter_size,
-            box_filter_exact=t.box_filter_exact).points
-
-    bench("preprocess_frame (device inputs)", pre)
+            box_filter_exact=t.box_filter_exact))
 
     pre_full = tr.preprocess(rgb_dev, depth_dev, calib)
     lastR, lastt = tr.all_pd_pose[-1]
     k = tr.gn_point_budget
 
-    def gn():
-        dR, dt, it = track_gauss_newton(
+    device_time(
+        "track_gauss_newton",
+        lambda eps: track_gauss_newton(
             pipe.map.state, pipe.map.cfg, pipe.map.model.decoder_params,
             pipe.map.model.decoder_config, tr.tcfg, tr.prev_pyr,
             pre_full.pyramid, pre_full.points[:k], pre_full.mask[:k],
             lastR, lastt, jnp.eye(3), jnp.zeros(3),
-            calib.fx, calib.fy, calib.cx, calib.cy, tr.rgb_weight)
-        return dt
+            calib.fx + eps, calib.fy, calib.cx, calib.cy, tr.rgb_weight))
 
-    bench("track_gauss_newton", gn)
-
-    def full_step():
-        (p2, pose_R, pose_t, w, nu, it, plog, pcnt) = fused_frame_step(
+    device_time(
+        "fused_frame_step (device frame)",
+        lambda eps: fused_frame_step(
             pipe.map.state, pipe.map.cfg, pipe.map.model.decoder_params,
             pipe.map.model.decoder_config, tr.tcfg, tr.prev_pyr,
             rgb_dev, depth_dev,
-            calib.fx, calib.fy, calib.cx, calib.cy, 0.5, 5.0,
+            calib.fx + eps, calib.fy, calib.cx, calib.cy, 0.5, 5.0,
             tr.point_budget, tr.gn_point_budget, lastR, lastt,
             tr.rgb_weight, tr.n_unstable, tr._pose_log, tr._pose_count,
-            depth_scale=float(getattr(calib, "dscale", 1.0)))
-        tr._pose_log = plog
-        return pose_t
-
-    bench("fused_frame_step (device frame)", full_step)
+            depth_scale=dscale))
 
     pts, nrm, mask = tr.last_processed_pc
     pose = tr.all_pd_pose[-1]
-    bench("integrate_keyframe",
-          lambda: (pipe.map.integrate_keyframe(pts, nrm, valid=mask,
-                                               pose=pose),
-                   pipe.map.state.n_occupied)[1])
-
+    if hasattr(pose, "q"):
+        pose_R = jnp.asarray(pose.q.rotation_matrix, jnp.float32)
+        pose_t = jnp.asarray(pose.t, jnp.float32)
+    else:
+        pose_R, pose_t = pose
     vmap = pipe.map
+    device_time(
+        "integrate_keyframe",
+        lambda eps: map_mod.integrate_keyframe(
+            vmap.state, vmap.cfg, vmap.model.encoder_params,
+            vmap.model.encoder_bn, vmap.model.encoder_config,
+            jnp.asarray(pts, jnp.float32) + eps, jnp.asarray(nrm, jnp.float32),
+            jnp.asarray(mask, bool), pose_R, pose_t))
+
     upd_all = jnp.ones((vmap.cfg.latent_capacity,), bool)
     r = int(args.resolution)
     reeval = max(1024, int(mesher_mod.MESH_CHUNK * (2 * r) ** 3
                            * pipe.mesher.reeval_fraction))
 
-    def extract():
-        res = mesher_mod.fused_extract(
+    device_time(
+        "fused_extract (cadence batch)",
+        lambda eps: mesher_mod.fused_extract(
             vmap.state, upd_all, vmap.cfg, vmap.model.decoder_params,
             vmap.model.decoder_config, r, True, pipe.mesher.mesh_budget,
-            pipe.mesher.fused_tri_budget, reeval, 0.15)
-        return res[0].n_triangles
-
-    bench("fused_extract (cadence batch)", extract, repeats=4, burst=2)
+            pipe.mesher.fused_tri_budget, reeval, 0.15 + eps),
+        K=8, repeats=4)
 
     res = mesher_mod.fused_extract(
         vmap.state, upd_all, vmap.cfg, vmap.model.decoder_params,
