@@ -141,6 +141,13 @@ def test_box_filter_exact_zero_drop_and_full_cell_coverage():
     for row, g in zip(got, got_gid):
         np.testing.assert_allclose(row, by_gid[g], atol=1e-4)
 
+    # Output order must be a pseudo-random spatial shuffle, NOT a grid-id
+    # slab: the GN stage consumes a prefix of these rows, so a sorted-gid
+    # prefix would cover one corner of the frame.  A bijectively-mixed
+    # order makes any prefix an unbiased spatial sample.
+    frac_sorted = float(np.mean(np.diff(got_gid.astype(np.int64)) > 0))
+    assert frac_sorted < 0.6               # ~0.5 for a shuffle, 1.0 for a slab
+
 
 def test_box_filter_exact_in_preprocess_frame():
     """End-to-end: preprocess_frame(box_filter_exact=True) reports zero
