@@ -281,10 +281,15 @@ def box_filter_points(pts: jnp.ndarray, normals: jnp.ndarray, valid: jnp.ndarray
     DROPPED (not merged — merging would fabricate midpoints between distant
     surfaces).  With 2^20 slots vs the <=7.7e4 occupied cells of a 640x480
     half-res frame, expected birthday collisions are ~2.8k cells (<4% of
-    points), spatially unbiased.  (A sort-based exact unique costs ~9 ms
-    per frame on TPU — half of the whole preprocessing pass.)  The actual
-    drop rate is measured and returned so pathological frames are visible
-    (consumers surface it in stats and the bench gates on it).
+    points), spatially unbiased.  The actual drop rate is measured and
+    returned so pathological frames are visible (consumers surface it in
+    stats and the bench gates on it).
+
+    NOTE: since the fused-scatter redesign the sort-based
+    :func:`box_filter_points_exact` measures FASTER than this path (1.1 vs
+    2.7 ms/frame on a v5e — the 2^20-row scatter-max + cumsum outweigh one
+    76.8k-point two-key sort) and is the frontend default; this path
+    remains as the ``box_filter_exact: false`` opt-out.
     :return: (pts (capacity,3), normals (capacity,3), [colors (capacity,3),]
         mask (capacity,), drop_frac () — fraction of valid input points
         lost to hash collisions).
@@ -342,11 +347,11 @@ def box_filter_points_exact(pts: jnp.ndarray, normals: jnp.ndarray,
 
     Same contract as :func:`box_filter_points` but every occupied cell is
     kept (``drop_frac`` is identically 0 unless ``capacity`` truncates the
-    cell list).  One int32 sort of the N point cell-ids (~9 ms on a 640x480
-    half-res frame on a v5e — about half the cost of the rest of the
-    preprocessing pass, which is why the hash path is the online default;
-    this path is the evaluation-run opt-in via the tracking
-    ``preprocess: {box_filter_exact: true}`` config key).
+    cell list).  One two-key int32 sort of the N point cell-ids: measured
+    1.1 ms vs the hash path's 2.7 ms on a 640x480 half-res frame on a v5e
+    (its 2^20-row scatter-max + cumsum dominate), so this is the frontend
+    DEFAULT; ``preprocess: {box_filter_exact: false}`` selects the hash
+    path.
 
     Output cell ORDER is load-bearing: the GN stage consumes the first
     ``gn_point_budget`` rows, so a raw grid-id sort would hand it one
@@ -409,24 +414,33 @@ def select_photometric_pixels(cur_intensity, cur_depth, cur_dIdxy,
     :return: (u, v, i1, d1, gx, gy, valid) — (k,) per-pixel arrays in
         full-resolution pixel units.
     """
-    if stride > 1:
-        cur_intensity = cur_intensity[::stride, ::stride]
-        cur_depth = cur_depth[::stride, ::stride]
-        cur_dIdxy = cur_dIdxy[:, ::stride, ::stride]
     h, w = cur_intensity.shape
     gx, gy = cur_dIdxy[0], cur_dIdxy[1]
     grad2 = gx * gx + gy * gy
     ok = jnp.isfinite(grad2) & (grad2 >= min_grad_scale) \
         & jnp.isfinite(cur_depth)
+    if stride > 1:
+        # NEVER materialise a strided slice — a [::2, ::2] relayout of
+        # the level-0 planes costs ~3 ms/frame on a v5e (lane-dimension
+        # shuffle), which was the whole cost of this function.  Fold the
+        # stride into the candidate mask instead (elementwise iota
+        # compare) and select/gather at full resolution.
+        ok = ok & (jnp.arange(h)[:, None] % stride == 0) \
+            & (jnp.arange(w)[None, :] % stride == 0)
     score = jnp.where(ok, grad2, -1.0).reshape(-1)
-    kk = min(k, h * w)
-    _, idx = jax.lax.top_k(score, kk)
-    valid = score[idx] >= 0.0
-    u = (idx % w).astype(jnp.float32) * stride
-    v = (idx // w).astype(jnp.float32) * stride
-    take = lambda a: jnp.take(a.reshape(-1), idx, mode="clip")
-    return (u, v, take(cur_intensity), take(cur_depth),
-            take(gx), take(gy), valid)
+    kk = min(k, ((h - 1) // stride + 1) * ((w - 1) // stride + 1))
+    # top_k's VALUES give the validity test for free, and the four
+    # per-pixel channels pack into two complex64 gathers (f32 pairs are
+    # held exactly) — 2 gathers instead of 5.
+    vals, idx = jax.lax.top_k(score, kk)
+    valid = vals >= 0.0
+    u = (idx % w).astype(jnp.float32)
+    v = (idx // w).astype(jnp.float32)
+    id_pack = jnp.take(jax.lax.complex(cur_intensity, cur_depth).reshape(-1),
+                       idx, mode="clip")
+    g_pack = jnp.take(jax.lax.complex(gx, gy).reshape(-1), idx, mode="clip")
+    return (u, v, jnp.real(id_pack), jnp.imag(id_pack),
+            jnp.real(g_pack), jnp.imag(g_pack), valid)
 
 
 def rgb_odometry_sparse(prev_packed, W: int, H: int, pix,

@@ -45,7 +45,7 @@ def preprocess_frame(rgb, depth, fx, fy, cx, cy,
                      outlier_radius: float = 0.05, outlier_min_nb: int = 16,
                      normal_radius: float = 0.1, normal_min_nb: int = 5,
                      box_filter_size: float = 0.02,
-                     box_filter_exact: bool = False):
+                     box_filter_exact: bool = True):
     """rgb (H,W,3), depth (H,W) -> Preprocessed.
 
     ``rgb`` may be float32 in [0,1] or raw uint8; ``depth`` float32 metres

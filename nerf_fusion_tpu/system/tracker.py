@@ -82,9 +82,11 @@ class TrackerConfig(NamedTuple):
     normal_radius: float = 0.1
     normal_min_nb: int = 5
     box_filter_size: float = 0.02
-    # exact (sort-based) box filter: zero hash drops, ~9 ms/frame extra
-    # (evaluation-run opt-in; imgproc.box_filter_points_exact)
-    box_filter_exact: bool = False
+    # exact (sort-based) box filter: zero hash drops AND faster than the
+    # hash path since the fused-scatter redesign (1.1 vs 2.7 ms/frame on a
+    # v5e at 640x480 half-res) — the default.  False selects the legacy
+    # scatter-max hash path (imgproc.box_filter_points).
+    box_filter_exact: bool = True
 
     @staticmethod
     def from_args(args) -> "TrackerConfig":
@@ -125,7 +127,7 @@ class TrackerConfig(NamedTuple):
             normal_radius=float(pre.get("normal_radius", 0.1)),
             normal_min_nb=int(pre.get("normal_min_nb", 5)),
             box_filter_size=float(pre.get("box_filter_size", 0.02)),
-            box_filter_exact=bool(pre.get("box_filter_exact", False)),
+            box_filter_exact=bool(pre.get("box_filter_exact", True)),
         )
 
 

@@ -1,0 +1,91 @@
+#!/usr/bin/env python3
+"""Stride-2 plane decimation variants for the dense photometric path.
+
+rgb_odometry(stride=2) slices 4 full-res planes `[::2, ::2]` per GN
+group — measured ~2.9 ms at 640x480 on a v5e (lane-dimension relayout).
+Candidates to beat it:
+
+  a) plain [::2, ::2] slice               (baseline — lane relayout)
+  b) one-hot selection matmuls both dims  (rides the MXU, like
+     resize_half_bilinear's blend matrices; needs NaN-sanitised inputs)
+  c) sublane slice [::2] + lane matmul    (row slice may be cheap)
+  d) reshape (h/2,2,w/2,2) + take [0,0]   (same relayout, different spell)
+  e) 2x c64 pack, then (b) on 2 planes    (halves matmul volume; complex
+     matmul may lower poorly — measure)
+
+    python tools/decimate_exp.py
+"""
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+import os  # noqa: E402
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
+
+import numpy as np  # noqa: E402
+
+from microbench import device_time  # noqa: E402
+
+
+def _sel(n_in: int) -> np.ndarray:
+    """(n_in//2, n_in) one-hot stride-2 row-selection matrix."""
+    n_out = n_in // 2
+    M = np.zeros((n_out, n_in), np.float32)
+    M[np.arange(n_out), np.arange(n_out) * 2] = 1.0
+    return M
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    print("device:", jax.devices()[0])
+    rng = np.random.default_rng(0)
+    H, W = 480, 640
+    planes = jnp.asarray(rng.random((4, H, W)).astype(np.float32))
+    Sy = jnp.asarray(_sel(H))
+    Sx = jnp.asarray(_sel(W))
+    HI = jax.lax.Precision.HIGHEST
+
+    def a(eps):
+        p = planes + eps
+        return p[:, ::2, ::2]
+
+    def b(eps):
+        p = planes + eps
+        return jnp.matmul(jnp.matmul(Sy, p, precision=HI), Sx.T,
+                          precision=HI)
+
+    def c(eps):
+        p = (planes + eps)[:, ::2, :]
+        return jnp.matmul(p, Sx.T, precision=HI)
+
+    def d(eps):
+        p = (planes + eps).reshape(4, H // 2, 2, W // 2, 2)
+        return p[:, :, 0, :, 0]
+
+    def e(eps):
+        p = planes + eps
+        pk = jax.lax.complex(p[:2], p[2:])
+        out = jnp.matmul(jnp.matmul(Sy.astype(pk.dtype), pk),
+                         Sx.T.astype(pk.dtype))
+        return jnp.real(out), jnp.imag(out)
+
+    device_time("a) [::2,::2] slice x4", a, K=32)
+    device_time("b) one-hot matmul both dims", b, K=32)
+    device_time("c) row slice + lane matmul", c, K=32)
+    device_time("d) reshape-take", d, K=32)
+    device_time("e) c64 pack + matmul", e, K=32)
+
+    # exactness check for b/c vs a
+    ra = np.asarray(a(0.0))
+    for name, f in (("b", b), ("c", c), ("d", d)):
+        r = np.asarray(f(0.0))
+        print(f"   {name} max|diff| vs a: {np.max(np.abs(r - ra)):.3e}")
+
+
+if __name__ == "__main__":
+    main()
