@@ -501,17 +501,38 @@ def rgb_odometry(prev_intensity, prev_depth, cur_intensity, cur_depth,
     :return: (f (h,w), J (6,h,w) plane-major, valid (h,w)) at the strided size.
     """
     H, W = cur_intensity.shape
+    gx, gy = cur_dIdxy[0], cur_dIdxy[1]
+    d1 = cur_depth
     if stride > 1:
-        cur_intensity = cur_intensity[::stride, ::stride]
-        cur_depth = cur_depth[::stride, ::stride]
-        cur_dIdxy = cur_dIdxy[:, ::stride, ::stride]
+        # Decimate WITHOUT a `[::stride, ::stride]` slice: the lane-dim
+        # (W) stride forces a relayout (~0.5 ms for 4 planes at 640x480
+        # on a v5e) per GN group.  A sublane row slice is cheap, and the
+        # lane decimation is a one-hot selection matmul on the MXU —
+        # bit-exact at HIGHEST precision, ~50x faster (tools/
+        # decimate_exp.py).  NaNs smear across a row through the matmul
+        # (0*nan = nan), so the keep-mask is computed at full res first
+        # and all planes are sanitised; invalidity is re-encoded as
+        # depth 0 (a physically impossible value: camera centre) and
+        # recovered after decimation as `ok = d1 > 0`.
+        grad2 = gx * gx + gy * gy
+        keep = jnp.isfinite(grad2) & (grad2 >= min_grad_scale) \
+            & jnp.isfinite(d1) & jnp.isfinite(cur_intensity)
+        w_out = (W - 1) // stride + 1
+        Sx = jnp.zeros((W, w_out), cur_intensity.dtype).at[
+            jnp.arange(w_out) * stride, jnp.arange(w_out)].set(1.0)
+        dec = lambda p: jnp.matmul(p[::stride], Sx, precision=_HI)
+        cur_intensity = dec(jnp.where(keep, cur_intensity, 0.0))
+        d1 = dec(jnp.where(keep, d1, 0.0))
+        gx = dec(jnp.where(keep, gx, 0.0))
+        gy = dec(jnp.where(keep, gy, 0.0))
+        ok = d1 > 0.0
+    else:
+        grad2 = gx * gx + gy * gy
+        ok = jnp.isfinite(grad2) & (grad2 >= min_grad_scale) \
+            & jnp.isfinite(d1)
     h, w = cur_intensity.shape
     u = (jnp.arange(w, dtype=jnp.float32) * stride)[None, :].repeat(h, 0)
     v = (jnp.arange(h, dtype=jnp.float32) * stride)[:, None].repeat(w, 1)
-    gx, gy = cur_dIdxy[0], cur_dIdxy[1]
-    grad2 = gx * gx + gy * gy
-    d1 = cur_depth
-    ok = jnp.isfinite(grad2) & (grad2 >= min_grad_scale) & jnp.isfinite(d1)
 
     wz = d1 * (krkinv[2, 0] * u + krkinv[2, 1] * v + krkinv[2, 2]) + kt[2]
     u0 = jnp.round((d1 * (krkinv[0, 0] * u + krkinv[0, 1] * v + krkinv[0, 2])
