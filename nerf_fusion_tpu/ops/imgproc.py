@@ -95,10 +95,34 @@ def resize_half_bilinear(img: jnp.ndarray):
                       precision=_HI)
 
 
+def lane_sel(n_in: int, stride: int, dtype=jnp.float32) -> jnp.ndarray:
+    """(n_in, ceil(n_in/stride)) one-hot column-selection matrix.
+
+    Lane-dimension (last-axis) strided slices force a tile relayout on
+    TPU (~0.5-0.8 ms per 640x480 f32 plane on a v5e); multiplying by a
+    constant one-hot matrix at HIGHEST precision selects the same
+    columns bit-exactly on the MXU for ~nothing (tools/decimate_exp.py).
+    Sublane (second-minor) strided slices are cheap — keep those as
+    plain ``[::stride]``.
+    """
+    n_out = (n_in - 1) // stride + 1
+    return jnp.zeros((n_in, n_out), dtype).at[
+        jnp.arange(n_out) * stride, jnp.arange(n_out)].set(1.0)
+
+
 def resize_half_nearest(img: jnp.ndarray):
-    """Halve H,W with nearest (torch 'nearest' floor-index convention)."""
+    """Halve H,W with nearest (torch 'nearest' floor-index convention).
+
+    CONTRACT: strictly-positive image with NaN invalids (i.e. a metric
+    depth map) — the lane decimation runs as a one-hot matmul (a
+    ``[::2, ::2]`` slice relayouts, 0.79 ms vs ~0 at 640x480 on a v5e),
+    and NaNs would smear across rows through the matmul, so invalidity
+    is round-tripped through 0 (never a valid depth) and restored.
+    """
     H, W = img.shape
-    return img[::2, ::2]
+    z = jnp.where(jnp.isfinite(img), img, 0.0)[::2]
+    out = jnp.matmul(z, lane_sel(W, 2, img.dtype), precision=_HI)
+    return jnp.where(out > 0.0, out, jnp.nan)
 
 
 def bilateral_depth_filter(depth: jnp.ndarray, radius: int = 2,
@@ -517,9 +541,7 @@ def rgb_odometry(prev_intensity, prev_depth, cur_intensity, cur_depth,
         grad2 = gx * gx + gy * gy
         keep = jnp.isfinite(grad2) & (grad2 >= min_grad_scale) \
             & jnp.isfinite(d1) & jnp.isfinite(cur_intensity)
-        w_out = (W - 1) // stride + 1
-        Sx = jnp.zeros((W, w_out), cur_intensity.dtype).at[
-            jnp.arange(w_out) * stride, jnp.arange(w_out)].set(1.0)
+        Sx = lane_sel(W, stride, cur_intensity.dtype)
         dec = lambda p: jnp.matmul(p[::stride], Sx, precision=_HI)
         cur_intensity = dec(jnp.where(keep, cur_intensity, 0.0))
         d1 = dec(jnp.where(keep, d1, 0.0))

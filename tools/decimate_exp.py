@@ -86,6 +86,41 @@ def main():
         r = np.asarray(f(0.0))
         print(f"   {name} max|diff| vs a: {np.max(np.abs(r - ra)):.3e}")
 
+    # ---- depth plane with NaNs (resize_half_nearest) --------------------
+    dnp = rng.random((H, W)).astype(np.float32) + 0.5
+    dnp[rng.random((H, W)) < 0.15] = np.nan
+    dep = jnp.asarray(dnp)
+
+    def dn_slice(eps):
+        return (dep + eps)[::2, ::2]
+
+    def dn_matmul(eps):
+        d = dep + eps
+        z = jnp.where(jnp.isfinite(d), d, 0.0)[::2]
+        out = jnp.matmul(z, Sx.T, precision=HI)
+        return jnp.where(out > 0.0, out, jnp.nan)
+
+    device_time("depth [::2,::2] slice", dn_slice, K=32)
+    device_time("depth sanitize+rowslice+matmul", dn_matmul, K=32)
+    r1, r2 = np.asarray(dn_slice(0.0)), np.asarray(dn_matmul(0.0))
+    same = np.array_equal(np.nan_to_num(r1, nan=-1), np.nan_to_num(r2, nan=-1))
+    print(f"   depth matmul == slice (NaN-aware): {same}")
+
+    # ---- (H,W,3) rgb decimation ------------------------------------------
+    rgbv = jnp.asarray(rng.random((H, W, 3)).astype(np.float32))
+
+    def rgb_slice(eps):
+        return (rgbv + eps)[::2, ::2].reshape(-1, 3)
+
+    def rgb_einsum(eps):
+        return jnp.einsum("hwc,wk->hkc", (rgbv + eps)[::2], Sx.T,
+                          precision=HI).reshape(-1, 3)
+
+    device_time("rgb (H,W,3) [::2,::2]+reshape", rgb_slice, K=32)
+    device_time("rgb rowslice+einsum+reshape", rgb_einsum, K=32)
+    r1, r2 = np.asarray(rgb_slice(0.0)), np.asarray(rgb_einsum(0.0))
+    print(f"   rgb einsum max|diff|: {np.max(np.abs(r1 - r2)):.3e}")
+
 
 if __name__ == "__main__":
     main()

@@ -129,6 +129,11 @@ def main():
                     flat_p + eps, flat_n, flat_v,
                     voxel_size=t.box_filter_size,
                     capacity=tr.point_budget, colors=flat_c), K=16)
+    device_time("pre: flatten+transpose p/n planes",
+                lambda eps: ((pts0 + eps).reshape(3, -1).T,
+                             (nrm + eps).reshape(3, -1).T), K=32)
+    device_time("pre: rgb [::2,::2] + reshape(-1,3)",
+                lambda eps: (rgbf + eps)[::2, ::2].reshape(-1, 3), K=32)
     device_time("pre: WHOLE preprocess_frame",
                 lambda eps: preprocess_frame(
                     rgb_dev, depth_dev, fx + eps, fy, cx, cy,
