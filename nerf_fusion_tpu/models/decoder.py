@@ -77,20 +77,31 @@ def init_decoder(key, config: DecoderConfig):
     return params
 
 
-def _apply_linear(p: dict, x: jnp.ndarray) -> jnp.ndarray:
+# Named matmul precisions for the decoder's Linear layers.  HIGH (bf16x3
+# passes) is the default: f32-equivalent accuracy at half the cost of
+# HIGHEST (6 passes); jax's DEFAULT (1 bf16 pass) loses ~3 decimal digits,
+# which measurably hurts the tracker's Jacobians — but is fine for bulk
+# consumers that only threshold the SDF (e.g. the mesher's sample grids).
+PRECISIONS = {
+    "default": jax.lax.Precision.DEFAULT,
+    "high": jax.lax.Precision.HIGH,
+    "highest": jax.lax.Precision.HIGHEST,
+}
+
+
+def _apply_linear(p: dict, x: jnp.ndarray, precision=None) -> jnp.ndarray:
     if "v" in p:  # weight-normalised
         v = p["v"]
         w = p["g"][:, None] * v / jnp.linalg.norm(v, axis=1, keepdims=True)
     else:
         w = p["w"]
-    # HIGH = bf16x3 passes: f32-equivalent accuracy at half the cost of
-    # HIGHEST (6 passes); jax's DEFAULT (1 bf16 pass) loses ~3 decimal
-    # digits, which measurably hurts the tracker's Jacobians.
-    return jnp.matmul(x, w.T, precision=jax.lax.Precision.HIGH) + p["b"]
+    if precision is None:
+        precision = jax.lax.Precision.HIGH
+    return jnp.matmul(x, w.T, precision=precision) + p["b"]
 
 
 def apply_decoder(params: dict, config: DecoderConfig, net_input: jnp.ndarray,
-                  train: bool = False, rng=None):
+                  train: bool = False, rng=None, precision=None):
     """Forward (N, L+3) -> (sdf (N,1), std (N,1)).
 
     Mirrors the reference forward exactly (di_decoder.py:55-86): latent_in
@@ -104,8 +115,9 @@ def apply_decoder(params: dict, config: DecoderConfig, net_input: jnp.ndarray,
         if layer in config.latent_in:
             x = jnp.concatenate([x, net_input], axis=1)
         if layer == n_lin - 1:
-            std = 0.05 + 0.5 * jax.nn.softplus(_apply_linear(params["unc"], x))
-        x = _apply_linear(params[f"lin{layer}"], x)
+            std = 0.05 + 0.5 * jax.nn.softplus(
+                _apply_linear(params["unc"], x, precision))
+        x = _apply_linear(params[f"lin{layer}"], x, precision)
         if layer < n_lin - 1:
             x = jax.nn.relu(x)
             if train and config.dropout is not None and layer in config.dropout \

@@ -404,8 +404,11 @@ def box_filter_points_exact(pts: jnp.ndarray, normals: jnp.ndarray,
     ones = jnp.ones((pts.shape[0], 1), pts.dtype)
     stacked = (jnp.concatenate([pts, normals, ones], axis=-1) if colors is None
                else jnp.concatenate([pts, normals, colors, ones], axis=-1))
+    # dest is nondecreasing (valid rows sort first; ranks are a prefix sum;
+    # the invalid tail hits the sentinel row) -> sorted scatter-add.
     acc = jnp.zeros((capacity + 1, stacked.shape[1]))
-    acc = acc.at[dest].add(stacked[order], mode="drop")[:capacity]
+    acc = acc.at[dest].add(stacked[order], mode="drop",
+                           indices_are_sorted=True)[:capacity]
     c = jnp.maximum(acc[:, -1:], 1.0)
     out_p = acc[:, 0:3] / c
     out_n = acc[:, 3:6] / c

@@ -87,6 +87,13 @@ def masked_unique(ids: jnp.ndarray, valid: jnp.ndarray, capacity: int):
 def compact_by_mask(values: jnp.ndarray, mask: jnp.ndarray, capacity: int, fill=0):
     """Scatter ``values[mask]`` (in order) into a fixed buffer of ``capacity``.
 
+    Formulation note (measured on v5e, 262k->65k int32 select): the plain
+    scatter-set is ~2x faster than the sorted-segment-sum compaction here
+    (1.28 vs 2.37 ms); the segment-sum trick only wins for WIDE payloads
+    with near-full budgets (the marching-cubes triangle compaction, 29.9
+    -> ~3 ms — see ops/marching_cubes.py).  The sentinel destinations are
+    interleaved with the ranks, so ``indices_are_sorted`` must NOT be set.
+
     :return: (out (capacity, …), out_valid (capacity,), n () int32).
     """
     rank = jnp.cumsum(mask) - 1

@@ -106,10 +106,10 @@ def _upsample_blend_matrix(r: int) -> np.ndarray:
 
 @functools.partial(jax.jit, static_argnames=("cfg", "dec_cfg", "r", "fast",
                                               "mesh_budget", "tri_budget",
-                                              "reeval_budget"))
+                                              "reeval_budget", "precision"))
 def fused_extract(state, updated_mask, cfg, dec_params, dec_cfg,
                   r: int, fast: bool, mesh_budget: int, tri_budget: int,
-                  reeval_budget: int, max_std):
+                  reeval_budget: int, max_std, precision: str = "high"):
     """The WHOLE incremental extraction as one device program.
 
     Candidate selection (updated slots -> 6-neighbour expansion -> dedup ->
@@ -171,7 +171,7 @@ def fused_extract(state, updated_mask, cfg, dec_params, dec_cfg,
     def chunk_body(_, inp):
         lat_c, val_c = inp
         csdf, cstd = _decode_cubes(dec_params, dec_cfg, lat_c, val_c,
-                                   r, fast, reeval_budget)
+                                   r, fast, reeval_budget, precision)
         return 0, (csdf, cstd)
 
     _, (sdf_ch, std_ch) = jax.lax.scan(
@@ -190,16 +190,25 @@ def fused_extract(state, updated_mask, cfg, dec_params, dec_cfg,
     return result, uniq, keep, state.overflow, leftover, n_leftover
 
 
-@functools.partial(jax.jit, static_argnames=("dec_cfg", "r", "fast", "reeval_budget"))
+@functools.partial(jax.jit, static_argnames=("dec_cfg", "r", "fast",
+                                              "reeval_budget", "precision"))
 def _decode_cubes(dec_params, dec_cfg, latents_b, valid_b, r: int,
-                  fast: bool, reeval_budget: int):
-    """(B, L) voxel latents -> (B, 2r, 2r, 2r) sdf and std sample grids."""
+                  fast: bool, reeval_budget: int, precision: str = "high"):
+    """(B, L) voxel latents -> (B, 2r, 2r, 2r) sdf and std sample grids.
+
+    ``precision`` names the decoder matmul precision
+    (models.decoder.PRECISIONS); the mesher only thresholds/interpolates
+    the SDF, so one-pass bf16 ("default") is a measurable-speedup option
+    gated by the bench's mesh |SDF| oracle."""
+    from ..models.decoder import PRECISIONS
+    prec = PRECISIONS[precision]
     B, L = latents_b.shape
     n_hi = (2 * r) ** 3
 
     def decode(lat_rep, offs_rep):
         sdf, std = apply_decoder(dec_params, dec_cfg,
-                                 jnp.concatenate([lat_rep, offs_rep], axis=1))
+                                 jnp.concatenate([lat_rep, offs_rep], axis=1),
+                                 precision=prec)
         return sdf[:, 0], std[:, 0]
 
     if not fast:
@@ -238,11 +247,15 @@ def _decode_cubes(dec_params, dec_cfg, latents_b, valid_b, r: int,
     sel_b = sel_idx // n_hi
     sel_o = sel_idx % n_hi
     sdf_re, std_re = decode(latents_b[sel_b], offs_hi[sel_o])
+    # dest is nondecreasing (compaction preserves order; the invalid tail
+    # maps to the sentinel row B*n_hi), so the scatter is sorted.
     dest = jnp.where(sel_valid, sel_idx, B * n_hi)
     sdf_hi = jnp.concatenate([sdf_hi, jnp.zeros((1,))]).at[dest].set(
-        jnp.where(sel_valid, sdf_re, 0.0), mode="drop")[:-1]
+        jnp.where(sel_valid, sdf_re, 0.0), mode="drop",
+        indices_are_sorted=True)[:-1]
     std_hi = jnp.concatenate([std_hi, jnp.zeros((1,))]).at[dest].set(
-        jnp.where(sel_valid, std_re, 0.0), mode="drop")[:-1]
+        jnp.where(sel_valid, std_re, 0.0), mode="drop",
+        indices_are_sorted=True)[:-1]
     shape = (B, 2 * r, 2 * r, 2 * r)
     return sdf_hi.reshape(shape), std_hi.reshape(shape)
 
@@ -252,7 +265,8 @@ class Mesher:
 
     def __init__(self, vmap: SparseVoxelMap, max_n_triangles: int = 1 << 17,
                  reeval_fraction: float = 0.25, device=None,
-                 mesh_batch_budget: int = 4096):
+                 mesh_batch_budget: int = 4096,
+                 decode_precision: str = "high"):
         """``device``: optional second jax device; decode + marching cubes
         then run there on a snapshot copied over ICI, overlapping the
         fusion/tracking programs on the main device (the reference's
@@ -260,6 +274,7 @@ class Mesher:
         self.map = vmap
         self.budget = int(max_n_triangles)
         self.reeval_fraction = reeval_fraction
+        self.decode_precision = decode_precision
         self.device = device
         self._dec_params_aux = None
         self.vertices = np.zeros((0, 3, 3), np.float32)
@@ -401,7 +416,7 @@ class Mesher:
         result, ids, keep, map_ovf, leftover, n_left = fused_extract(
             state, upd, vmap.cfg, dec_params, vmap.model.decoder_config,
             r, fast, self.mesh_budget, self.fused_tri_budget,
-            reeval_budget, float(max_std))
+            reeval_budget, float(max_std), self.decode_precision)
         # Truncated batches defer their remainder: the leftover mask rides
         # in the pending entry and is folded back into the map's updated
         # accumulator at drain time iff non-empty (an unconditional
@@ -494,7 +509,8 @@ class Mesher:
             latents_b = lat_src[jnp.asarray(slots_pad[s:s + B])]
             csdf, cstd = _decode_cubes(
                 dec_params, vmap.model.decoder_config,
-                latents_b, valid_b, r, fast, reeval_budget)
+                latents_b, valid_b, r, fast, reeval_budget,
+                self.decode_precision)
             cube_sdf_chunks.append(csdf)
             cube_std_chunks.append(cstd)
 

@@ -42,7 +42,9 @@ class FusionPipeline:
         # override via max_n_triangles.
         self.mesher = Mesher(self.map, max_n_triangles=int(
             getattr(args, "max_n_triangles", 4e6)), device=aux,
-            mesh_batch_budget=int(getattr(args, "mesh_batch_budget", 4096)))
+            mesh_batch_budget=int(getattr(args, "mesh_batch_budget", 4096)),
+            decode_precision=str(
+                getattr(args, "mesh_decode_precision", "high")))
         budget = point_budget or int(getattr(map_args, "points_capacity", 16384))
         self.tracker = SDFTracker(self.map, args.tracking, point_budget=budget)
         self.timer = StageTimer()

@@ -283,13 +283,19 @@ def track_gauss_newton(map_state, map_cfg, dec_params, dec_cfg, tcfg: TrackerCon
         def body(st):
             i, dR, dt, bR, bt, last_energy, done, used = st
             H, g, energy = build_Hg(dR, dt)
-            worse = energy > last_energy
+            # Non-finite energy (degenerate frame: no valid residuals,
+            # all-NaN depth, ...) must count as "worse" — NaN compares
+            # false, which would otherwise ACCEPT the poisoned state.
+            worse = (energy > last_energy) | ~jnp.isfinite(energy)
             bR2 = jnp.where(worse, bR, dR)
             bt2 = jnp.where(worse, bt, dt)
             best_energy = jnp.where(worse, last_energy, energy)
             # (jnp.linalg.solve beats an unrolled scalar Cholesky here:
             # TPU scalar-unit chains are slower than the batched LU kernel)
             xi = jnp.linalg.solve(H + 1e-9 * jnp.eye(6), -g)
+            # a singular/ill-conditioned H yields a non-finite step: keep
+            # the pose rather than poisoning the whole chain with NaNs.
+            xi = jnp.where(jnp.all(jnp.isfinite(xi)), xi, jnp.zeros(6))
             eR, et = sj.se3_exp(xi)
             nR, nt = sj.compose(eR, et, dR, dt)
             do_update = (~worse) & (i < n_iters)

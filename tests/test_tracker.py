@@ -181,3 +181,23 @@ def test_sparse_photometric_term_matches_dense_when_budget_covers():
     ss = np.linalg.solve(np.asarray(Hs2) + 1e-9 * np.eye(6), -np.asarray(gs2))
     cos = sd @ ss / (np.linalg.norm(sd) * np.linalg.norm(ss) + 1e-12)
     assert cos > 0.95, cos
+
+
+def test_degenerate_frame_keeps_pose_finite():
+    """A frame with no usable depth (all NaN after the range cut) must not
+    poison the pose chain with NaNs: the GN loop rejects non-finite energy
+    and non-finite solve steps (pose stays at its initialization)."""
+    import numpy as np
+
+    args, seq, pipe = _pipeline(n_frames=4)
+    for i in range(2):
+        pipe.process_frame(next(seq), i)
+    bad = seq.render_frame(2)
+    bad.depth = np.full_like(np.asarray(bad.depth), np.nan)
+    bad.rgb = np.zeros_like(np.asarray(bad.rgb))
+    pipe.process_frame(bad, 2)
+    pipe.process_frame(next(seq), 3)   # and a later good frame still works
+    poses = pipe.trajectory()
+    assert len(poses) == 4
+    for p in poses:
+        assert np.all(np.isfinite(p.matrix)), "NaN leaked into the pose chain"
