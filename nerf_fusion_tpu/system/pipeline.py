@@ -45,6 +45,13 @@ class FusionPipeline:
             mesh_batch_budget=int(getattr(args, "mesh_batch_budget", 4096)),
             decode_precision=str(
                 getattr(args, "mesh_decode_precision", "high")))
+        # "Fast" (coarse eval + upsample + near-surface re-eval) is the
+        # reference's speed mode (map.py:656-683).  On TPU the select +
+        # scatter machinery costs MORE than decoding every sample outright
+        # (measured per 512-voxel chunk at r=4: full 2.34 ms vs fast 2.67),
+        # so the exact full decode is the default here; `mesh_fast: true`
+        # restores the reference behaviour.
+        self.mesh_fast = bool(getattr(args, "mesh_fast", False))
         budget = point_budget or int(getattr(map_args, "points_capacity", 16384))
         self.tracker = SDFTracker(self.map, args.tracking, point_budget=budget)
         self.timer = StageTimer()
@@ -91,6 +98,7 @@ class FusionPipeline:
             self.mesher.extract(
                 self.args.resolution,
                 max_std=getattr(self.args, "max_std", 0.15),
+                fast=self.mesh_fast,
                 extract_async=bool(getattr(self.args, "run_async", False)),
                 materialize=False)
             dt = self.timer.stop("mesh")
@@ -137,7 +145,8 @@ class FusionPipeline:
         # where the time goes)
         with self.timer.scope("final_mesh"):
             self.mesher.extract(self.args.resolution,
-                                max_std=getattr(self.args, "max_std", 0.15))
+                                max_std=getattr(self.args, "max_std", 0.15),
+                                fast=self.mesh_fast)
         poses = self.trajectory()
         results = {"n_frames": n, "timing": self.timer.summary()}
         if self.tracker.drop_fracs:

@@ -221,3 +221,30 @@ def test_full_remesh_repair_route(plane_mesher):
     ca = np.sort(ref.mean(axis=1), axis=0)
     cb = np.sort(repaired.mean(axis=1), axis=0)
     assert np.abs(ca - cb).max() < 1e-5
+
+
+def test_pipeline_mesh_knobs_threaded(tmp_path):
+    """`mesh_fast` / `mesh_decode_precision` config keys reach the mesher;
+    the TPU-first default is the exact full decode (fast=False)."""
+    from pathlib import Path
+
+    from nerf_fusion_tpu.models.io import load_model
+    from nerf_fusion_tpu.system.pipeline import FusionPipeline
+    from nerf_fusion_tpu.utils.config import dict_to_args, parse_config_yaml
+
+    cfg = Path(__file__).resolve().parent.parent / "configs" / "fusion-synth.yaml"
+    args = parse_config_yaml(cfg)
+    model, margs = load_model(cfg.parent.parent / args.training_hypers, 300)
+    args.model = margs
+    args.mapping = dict_to_args(args.mapping)
+    args.mapping.latent_capacity = 1024
+    args.mapping.alloc_capacity = 512
+    args.tracking = dict_to_args(args.tracking)
+    pipe = FusionPipeline(model, args, point_budget=1024)
+    assert pipe.mesh_fast is False                       # TPU-first default
+    assert pipe.mesher.decode_precision == "default"     # from the config
+    args.mesh_fast = True
+    args.mesh_decode_precision = "high"
+    pipe2 = FusionPipeline(model, args, point_budget=1024)
+    assert pipe2.mesh_fast is True
+    assert pipe2.mesher.decode_precision == "high"

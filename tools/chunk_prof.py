@@ -73,6 +73,17 @@ def main():
     device_ms("_decode_cubes fast chunk (current)",
               lambda eps: mesher_mod._decode_cubes(
                   dec_params, dec_cfg, lat + eps, valid, r, True, reeval))
+    device_ms("_decode_cubes fast chunk (prec=default)",
+              lambda eps: mesher_mod._decode_cubes(
+                  dec_params, dec_cfg, lat + eps, valid, r, True, reeval,
+                  "default"))
+    device_ms("_decode_cubes FULL chunk (prec=high)",
+              lambda eps: mesher_mod._decode_cubes(
+                  dec_params, dec_cfg, lat + eps, valid, r, False, reeval))
+    device_ms("_decode_cubes FULL chunk (prec=default)",
+              lambda eps: mesher_mod._decode_cubes(
+                  dec_params, dec_cfg, lat + eps, valid, r, False, reeval,
+                  "default"))
 
     # pieces
     n_lo = r ** 3
