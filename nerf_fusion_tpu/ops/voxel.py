@@ -53,15 +53,23 @@ def in_bounds(grid_id: jnp.ndarray, n_xyz) -> jnp.ndarray:
 def occurrence_count(ids: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
     """Per-element count of how many valid entries share the same id.
 
-    Sort-free interface: O(N log N) sort + two searchsorteds. Invalid
-    entries get count 0.
+    One key-value sort + run-length by prefix sums + an inverse-permutation
+    scatter.  (The earlier sort + two ``searchsorted`` formulation lowered
+    the binary searches to scalar-unit loops on TPU: 9.45 ms at N=40960 vs
+    ~1 ms this way.)  Invalid entries get count 0.
     """
+    n = ids.shape[0]
     big = jnp.iinfo(ids.dtype).max
     keyed = jnp.where(valid, ids, big)
-    s = jnp.sort(keyed)
-    left = jnp.searchsorted(s, keyed, side="left")
-    right = jnp.searchsorted(s, keyed, side="right")
-    return jnp.where(valid, right - left, 0)
+    s, orig = jax.lax.sort((keyed, jnp.arange(n, dtype=jnp.int32)), num_keys=1)
+    is_first = jnp.concatenate([jnp.ones((1,), bool), s[1:] != s[:-1]])
+    run_id = jnp.cumsum(is_first) - 1                       # (n,) sorted runs
+    run_count = jax.ops.segment_sum(jnp.ones((n,), jnp.int32), run_id,
+                                    num_segments=n, indices_are_sorted=True)
+    count_sorted = run_count[run_id]
+    counts = jnp.zeros((n,), jnp.int32).at[orig].set(count_sorted,
+                                                     unique_indices=True)
+    return jnp.where(valid, counts, 0)
 
 
 def masked_unique(ids: jnp.ndarray, valid: jnp.ndarray, capacity: int):

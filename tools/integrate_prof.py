@@ -176,6 +176,19 @@ def main():
                   vox.masked_segment_sum(jnp.ones_like(seg, jnp.float32),
                                          seg, cmask, cfg.latent_capacity)))
 
+    def fusion_sorted(eps):
+        segk = jnp.where(cmask, seg, cfg.latent_capacity)
+        s, order = jax.lax.sort(
+            (segk, jnp.arange(segk.shape[0], dtype=jnp.int32)), num_keys=1)
+        vals = jnp.concatenate(
+            [enc_latent + eps, jnp.ones((seg.shape[0], 1), jnp.float32)], 1)
+        out = jax.ops.segment_sum(vals[order], s,
+                                  num_segments=cfg.latent_capacity + 1,
+                                  indices_are_sorted=True)
+        return out[:cfg.latent_capacity]
+
+    device_ms("  fusion via sort + sorted segment_sum", fusion_sorted)
+
 
 if __name__ == "__main__":
     main()
