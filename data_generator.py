@@ -10,6 +10,10 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
+from nerf_fusion_tpu.utils.cache import enable_compile_cache
+
+enable_compile_cache()
+
 from nerf_fusion_tpu.data.generator import run_generator
 from nerf_fusion_tpu.utils import config as exp_util
 

@@ -119,12 +119,28 @@ def _corner_blend_mats(r: int):
             M.sum(axis=1).astype(np.float32))
 
 
+def blend_operands(r: int):
+    """The (mats, colsums) constants of `_corner_blend_mats` as arrays.
+
+    At r<=4 the blend matrices are small enough to bake into the program
+    as constants, but they grow as r^6 — 27 x (2r)^3 x (r+1)^3 f32 is
+    ~322 MB at r=8, which oversizes the serialized program (observed: a
+    tunnel compile endpoint rejecting the request outright).  Callers that
+    jit over large r pass these as runtime operands instead (the Mesher
+    caches one device copy per (r, device)).
+    """
+    offsets, mats, colsums = _corner_blend_mats(r)
+    return np.asarray(mats), np.asarray(colsums)
+
+
 def _corner_field(indexer, batch_map, positions_b, cube_sdf, cube_std,
-                  n_xyz, r: int, latent_capacity: int):
+                  n_xyz, r: int, latent_capacity: int, blend=None):
     """Interpolated (sdf, std) at the (r+1)^3 cell-corner lattice of each voxel.
 
     :param positions_b: (B,) flat voxel ids of the meshing batch.
     :param cube_sdf/std: (B, 2r, 2r, 2r).
+    :param blend: optional (mats, colsums) operands (see blend_operands);
+        None bakes them as program constants (fine for small r).
     :return: sdf, std (B, r+1, r+1, r+1).
     """
     B = cube_sdf.shape[0]
@@ -132,6 +148,8 @@ def _corner_field(indexer, batch_map, positions_b, cube_sdf, cube_std,
     n_xyz_arr = jnp.asarray(n_xyz, jnp.int32)
     vox_xyz = vox.unlinearize_id(positions_b, n_xyz)                 # (B,3)
     offsets, mats, colsums = _corner_blend_mats(r)
+    if blend is not None:
+        mats, colsums = blend
 
     # Stacked source planes so each neighbour costs ONE row gather:
     # plane 0 = sdf*std (the std-weighted numerator), plane 1 = std.
@@ -149,7 +167,7 @@ def _corner_field(indexer, batch_map, positions_b, cube_sdf, cube_std,
         row = batch_map[jnp.clip(slot, 0, latent_capacity - 1)]
         ok = inb & (slot >= 0) & (row >= 0)                           # (B,)
         g = planes[jnp.clip(row, 0, B - 1)]                           # (B,S,2)
-        Md = jnp.asarray(mats[di])
+        Md = jnp.asarray(mats[di])  # constant (blend=None) or operand slice
         okf = ok.astype(jnp.float32)[:, None]
         num_sdf += jnp.matmul(g[..., 0], Md, precision=_HI) * okf
         den_sdf += jnp.matmul(g[..., 1], Md, precision=_HI) * okf
@@ -193,7 +211,8 @@ def marching_cubes_sparse(indexer, batch_map, positions_b, batch_valid,
                           n_xyz, voxel_size, bound_min,
                           r: int, latent_capacity: int,
                           max_std: float, budget: int,
-                          frontier_kill: bool = True) -> MCResult:
+                          frontier_kill: bool = True,
+                          blend=None) -> MCResult:
     """Extract triangles for a batch of voxels.
 
     :param indexer: (n_voxels,) flat id -> slot.
@@ -216,7 +235,7 @@ def marching_cubes_sparse(indexer, batch_map, positions_b, batch_valid,
         own_ok = (own_slot >= 0) & (own_slot < latent_capacity) & (own_row >= 0)
         batch_valid = batch_valid & own_ok
     sdf, std = _corner_field(indexer, batch_map, positions_b, cube_sdf, cube_std,
-                             n_xyz, r, latent_capacity)
+                             n_xyz, r, latent_capacity, blend)
 
     # Cells: (r^3 per voxel); corner c of cell (x,y,z) sits at (x,y,z)+CORNERS[c].
     cr = np.arange(r)

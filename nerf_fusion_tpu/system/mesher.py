@@ -109,7 +109,8 @@ def _upsample_blend_matrix(r: int) -> np.ndarray:
                                               "reeval_budget", "precision"))
 def fused_extract(state, updated_mask, cfg, dec_params, dec_cfg,
                   r: int, fast: bool, mesh_budget: int, tri_budget: int,
-                  reeval_budget: int, max_std, precision: str = "high"):
+                  reeval_budget: int, max_std, precision: str = "high",
+                  blend=None):
     """The WHOLE incremental extraction as one device program.
 
     Candidate selection (updated slots -> 6-neighbour expansion -> dedup ->
@@ -186,7 +187,7 @@ def fused_extract(state, updated_mask, cfg, dec_params, dec_cfg,
         state.indexer, batch_map, uniq.astype(jnp.int32), keep,
         cube_sdf, cube_std, cfg.n_xyz, cfg.voxel_size,
         jnp.asarray(cfg.bound_min, jnp.float32),
-        r, C, max_std, tri_budget)
+        r, C, max_std, tri_budget, blend=blend)
     return result, uniq, keep, state.overflow, leftover, n_leftover
 
 
@@ -289,12 +290,34 @@ class Mesher:
         self.fused_tri_budget = min(self.budget,
                                     max(1 << 15, self.mesh_budget * 64))
         self._need_full_remesh = False
+        self._blend_cache = {}   # (r, device) -> device (mats, colsums)
         # Join any in-flight async extraction at interpreter exit: a daemon
         # thread mid-device-op during runtime teardown aborts the process.
         import atexit
         import weakref
         ref = weakref.ref(self)
         atexit.register(lambda: (lambda m: m and m.join_async())(ref()))
+
+    def _get_blend(self, r: int, device):
+        """Device-resident corner-blend operands for r > 4.
+
+        The blend constants grow as r^6 (~322 MB at r=8); baking them into
+        the jitted program oversizes its serialization (a tunnel compile
+        endpoint rejects it outright), so large-r programs take them as
+        runtime operands.  r <= 4 keeps the measured constant-folded path.
+        """
+        if r <= 4:
+            return None
+        import jax
+
+        from ..ops.marching_cubes import blend_operands
+        key = (r, device)
+        if key not in self._blend_cache:
+            ops = blend_operands(r)
+            self._blend_cache[key] = (jax.device_put(ops, device)
+                                      if device is not None
+                                      else jax.device_put(ops))
+        return self._blend_cache[key]
 
     def join_async(self):
         t = self._thread
@@ -416,7 +439,8 @@ class Mesher:
         result, ids, keep, map_ovf, leftover, n_left = fused_extract(
             state, upd, vmap.cfg, dec_params, vmap.model.decoder_config,
             r, fast, self.mesh_budget, self.fused_tri_budget,
-            reeval_budget, float(max_std), self.decode_precision)
+            reeval_budget, float(max_std), self.decode_precision,
+            blend=self._get_blend(r, self.device))
         # Truncated batches defer their remainder: the leftover mask rides
         # in the pending entry and is folded back into the map's updated
         # accumulator at drain time iff non-empty (an unconditional
@@ -538,7 +562,8 @@ class Mesher:
             jnp.asarray(valid_bt), cube_sdf, cube_std,
             cfg.n_xyz, cfg.voxel_size,
             jnp.asarray(cfg.bound_min, jnp.float32),
-            r, cfg.latent_capacity, float(max_std), self.budget)
+            r, cfg.latent_capacity, float(max_std), self.budget,
+            blend=self._get_blend(r, self.device))
         with self._lock:
             self._pending.append(_Pending(mesh_ids, None, result, None, None))
         if not materialize:

@@ -13,6 +13,10 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
+from nerf_fusion_tpu.utils.cache import enable_compile_cache
+
+enable_compile_cache()
+
 from nerf_fusion_tpu.trainer.train import train
 from nerf_fusion_tpu.utils import config as exp_util
 

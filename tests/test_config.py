@@ -61,3 +61,18 @@ def test_reference_hyper_json_parses():
     args = parse_config_json(ref)
     assert args.code_length == 29
     assert args.network_specs["dims"] == [128, 128, 128, 128]
+
+
+def test_enable_compile_cache_respects_env(tmp_path, monkeypatch):
+    from nerf_fusion_tpu.utils.cache import enable_compile_cache
+
+    monkeypatch.setenv("JAX_COMPILATION_CACHE_DIR", "/explicit")
+    assert enable_compile_cache() == "/explicit"
+    monkeypatch.setenv("JAX_COMPILATION_CACHE_DIR", "")
+    assert enable_compile_cache() == ""          # "" disables, stays ""
+    monkeypatch.delenv("JAX_COMPILATION_CACHE_DIR")
+    monkeypatch.setenv("XDG_CACHE_HOME", str(tmp_path))
+    d = enable_compile_cache()
+    assert d.startswith(str(tmp_path))
+    import os
+    assert os.path.isdir(d)

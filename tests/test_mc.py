@@ -87,3 +87,37 @@ def test_random_fields_watertight():
                 if not on_bound:
                     interior_unpaired += 1
         assert interior_unpaired == 0
+
+
+def test_blend_operands_match_constants():
+    """marching_cubes_sparse(blend=operands) is identical to the baked-
+    constant path (large r passes the blend matrices as runtime operands
+    because their serialized size grows as r^6 — mesher._get_blend)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from nerf_fusion_tpu.ops import marching_cubes as mc
+
+    B, r = 8, 3
+    n_xyz = (8, 8, 8)
+    rng = np.random.default_rng(3)
+    ids = rng.choice(np.prod(n_xyz), B, replace=False).astype(np.int32)
+    indexer = np.full((int(np.prod(n_xyz)),), -1, np.int32)
+    indexer[ids] = np.arange(B)
+    batch_map = np.full((64,), -1, np.int32)
+    batch_map[:B] = np.arange(B)
+    S = 2 * r
+    g = np.linspace(-0.5, 0.5, S, dtype=np.float32)
+    sdf = jnp.asarray(g[None, :, None, None]
+                      + rng.normal(0, 0.05, (B, S, S, S)).astype(np.float32))
+    std = jnp.asarray(rng.uniform(0.02, 0.1, (B, S, S, S)).astype(np.float32))
+    args = (jnp.asarray(indexer), jnp.asarray(batch_map), jnp.asarray(ids),
+            jnp.ones((B,), bool), sdf, std, n_xyz, 0.1,
+            jnp.zeros((3,), jnp.float32), r, 64, 0.2, 4096)
+    a = mc.marching_cubes_sparse(*args)
+    b = mc.marching_cubes_sparse(
+        *args, blend=jax.device_put(mc.blend_operands(r)))
+    assert int(a.n_triangles) == int(b.n_triangles) > 0
+    np.testing.assert_array_equal(np.asarray(a.vertices), np.asarray(b.vertices))
+    np.testing.assert_array_equal(np.asarray(a.vertex_std), np.asarray(b.vertex_std))
