@@ -200,18 +200,24 @@ def main():
     reeval = max(1024, int(mesher_mod.MESH_CHUNK * (2 * r) ** 3
                            * pipe.mesher.reeval_fraction))
 
+    # mirror the pipeline's actual extraction configuration (decode mode +
+    # precision are config-driven; fast=True was the pre-round-3 default)
+    mfast = pipe.mesh_fast
+    mprec = pipe.mesher.decode_precision
+    blend = pipe.mesher._get_blend(r, None)
     device_time(
         "fused_extract (cadence batch)",
         lambda eps: mesher_mod.fused_extract(
             vmap.state, upd_all, vmap.cfg, vmap.model.decoder_params,
-            vmap.model.decoder_config, r, True, pipe.mesher.mesh_budget,
-            pipe.mesher.fused_tri_budget, reeval, 0.15 + eps),
+            vmap.model.decoder_config, r, mfast, pipe.mesher.mesh_budget,
+            pipe.mesher.fused_tri_budget, reeval, 0.15 + eps, mprec,
+            blend=blend),
         K=8, repeats=4)
 
     res = mesher_mod.fused_extract(
         vmap.state, upd_all, vmap.cfg, vmap.model.decoder_params,
-        vmap.model.decoder_config, r, True, pipe.mesher.mesh_budget,
-        pipe.mesher.fused_tri_budget, reeval, 0.15)
+        vmap.model.decoder_config, r, mfast, pipe.mesher.mesh_budget,
+        pipe.mesher.fused_tri_budget, reeval, 0.15, mprec, blend=blend)
     tri = res[0].vertices
     t0 = time.perf_counter()
     v = np.asarray(tri)
