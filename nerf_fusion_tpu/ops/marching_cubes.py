@@ -251,31 +251,11 @@ def marching_cubes_sparse(indexer, batch_map, positions_b, batch_valid,
     config = jnp.sum(inside * (2 ** jnp.arange(8, dtype=jnp.int32))[None, None, :],
                      axis=-1)                                          # (B,Q)
 
-    # Vertex on each of the 12 edges (sdf-weighted lerp; mc_interp_kernel.cu:187-200).
-    ec = jnp.asarray(EDGE_CORNERS)                                     # (12,2)
-    v1 = c_sdf[..., ec[:, 0]]
-    v2 = c_sdf[..., ec[:, 1]]                                          # (B,Q,12)
-    s1 = c_std[..., ec[:, 0]]
-    s2 = c_std[..., ec[:, 1]]
-    denom = v2 - v1
-    t = jnp.where(jnp.abs(denom) < 1e-5, 0.0, -v1 / jnp.where(denom == 0, 1.0, denom))
-    t = jnp.where(jnp.abs(v1) < 1e-5, 0.0, jnp.where(jnp.abs(v2) < 1e-5, 1.0, t))
-    t = jnp.clip(t, 0.0, 1.0)
-    p1 = jnp.asarray(CORNERS[EDGE_CORNERS[:, 0]], jnp.float32)          # (12,3)
-    p2 = jnp.asarray(CORNERS[EDGE_CORNERS[:, 1]], jnp.float32)
-    edge_pos = p1[None, None] + t[..., None] * (p2 - p1)[None, None]    # (B,Q,12,3)
-    edge_std = s1 + t * (s2 - s1)                                       # (B,Q,12)
-
-    # Cell origin in grid units.
-    vox_xyz = vox.unlinearize_id(positions_b, n_xyz).astype(jnp.float32)  # (B,3)
-    cell_origin = vox_xyz[:, None, :] + cell[None, :, :].astype(jnp.float32) / r
-    edge_world = (cell_origin[:, :, None, :] + edge_pos / r) * voxel_size \
-        + bound_min[None, None, None, :]                               # (B,Q,12,3)
-
-    # Compact ACTIVE cells (config not 0/255) before any data-dependent
-    # lookups: typically only ~r^2 of the r^3 cells of a surface voxel cut
-    # the surface, and TPU random gathers are scalar-unit work — shrinking
-    # the domain 5-20x dominates everything downstream.
+    # Compact ACTIVE cells (config not 0/255) BEFORE any edge work:
+    # typically only ~r^2 of the r^3 cells of a surface voxel cut the
+    # surface, so the edge lerp/world-coordinate math runs on NC rows
+    # instead of materializing (B,Q,12,3) buffers for every cell (50 MB
+    # of writes at the flagship batch that the row-gather then re-read).
     T = MAX_TRIS_PER_CELL
     NC = min(B * Q, max(4096, B * 4 * r))
     active = batch_valid[:, None] & (config > 0) & (config < 255)      # (B,Q)
@@ -283,10 +263,36 @@ def marching_cubes_sparse(indexer, batch_map, positions_b, batch_valid,
     cell_idx, cell_ok, _ = vox.compact_by_mask(
         jnp.arange(B * Q, dtype=jnp.int32), flat_active, NC)
     cells_dropped = jnp.sum(flat_active).astype(jnp.int32) > NC
-    ew = edge_world.reshape(B * Q, 12 * 3)[cell_idx].reshape(NC, 12, 3)
-    es = edge_std.reshape(B * Q, 12)[cell_idx]                         # (NC,12)
+    # per-active-cell corner values: complex-pack (sdf, std) so the row
+    # gather moves one (NC, 8) complex array instead of two f32 ones
+    packed = jax.lax.complex(c_sdf, c_std).reshape(B * Q, 8)
+    cs_pack = packed[cell_idx]                                         # (NC,8)
+    cs = jnp.real(cs_pack)
+    ss = jnp.imag(cs_pack)
     cfg_c = config.reshape(-1)[cell_idx]                               # (NC,)
     fid_c = positions_b[cell_idx // Q]                                 # (NC,)
+
+    # Vertex on each of the 12 edges of the ACTIVE cells (sdf-weighted
+    # lerp; mc_interp_kernel.cu:187-200).
+    ec = jnp.asarray(EDGE_CORNERS)                                     # (12,2)
+    v1 = cs[:, ec[:, 0]]
+    v2 = cs[:, ec[:, 1]]                                               # (NC,12)
+    s1 = ss[:, ec[:, 0]]
+    s2 = ss[:, ec[:, 1]]
+    denom = v2 - v1
+    t = jnp.where(jnp.abs(denom) < 1e-5, 0.0, -v1 / jnp.where(denom == 0, 1.0, denom))
+    t = jnp.where(jnp.abs(v1) < 1e-5, 0.0, jnp.where(jnp.abs(v2) < 1e-5, 1.0, t))
+    t = jnp.clip(t, 0.0, 1.0)
+    p1 = jnp.asarray(CORNERS[EDGE_CORNERS[:, 0]], jnp.float32)          # (12,3)
+    p2 = jnp.asarray(CORNERS[EDGE_CORNERS[:, 1]], jnp.float32)
+    edge_pos = p1[None] + t[..., None] * (p2 - p1)[None]                # (NC,12,3)
+    es = s1 + t * (s2 - s1)                                             # (NC,12)
+
+    # Cell origin in grid units (per active cell).
+    vox_xyz = vox.unlinearize_id(fid_c, n_xyz).astype(jnp.float32)      # (NC,3)
+    cell_origin = vox_xyz + cell[cell_idx % Q].astype(jnp.float32) / r
+    ew = (cell_origin[:, None, :] + edge_pos / r) * voxel_size \
+        + bound_min[None, None, :]                                      # (NC,12,3)
 
     # Table + edge selection as exact one-hot matmuls (constant 0/1
     # matrices): the classic per-cell gather chain config -> tri rows ->

@@ -172,6 +172,36 @@ def main():
     device_ms("  edge-value einsum application", apply_einsum)
     verts_v, vstd_v = jax.jit(apply_einsum)(np.float32(0.0))
 
+    # gather variant: one-hot -> edge INDICES, then take_along_axis on the
+    # (complex-packed) edge values — 3 gathers of NC*15 instead of the
+    # batched tiny einsum.
+    T3 = T * 3
+    EIDX = np.zeros((256, T3), np.float32)
+    from nerf_fusion_tpu.ops.mc_tables import TRI_TABLE
+    for c in range(256):
+        row = TRI_TABLE[c]
+        for t in range(T):
+            if row[3 * t] < 0:
+                break
+            for kk in range(3):
+                EIDX[c, t * 3 + kk] = float(row[3 * t + kk])
+
+    def apply_gather(eps):
+        onehot = (cfg_c[:, None] == jnp.arange(256, dtype=cfg_c.dtype)
+                  ).astype(jnp.float32)
+        eidx = jnp.matmul(onehot, jnp.asarray(EIDX)).astype(jnp.int32)
+        ewv = ew.reshape(NC, 12, 3) + eps
+        cxy = jax.lax.complex(ewv[..., 0], ewv[..., 1])          # (NC,12)
+        cz_s = jax.lax.complex(ewv[..., 2], es)                  # (NC,12)
+        gxy = jnp.take_along_axis(cxy, eidx, axis=1)             # (NC,15)
+        gzs = jnp.take_along_axis(cz_s, eidx, axis=1)
+        verts = jnp.stack([jnp.real(gxy), jnp.imag(gxy),
+                           jnp.real(gzs)], -1).reshape(NC, T, 3, 3)
+        vstd = jnp.imag(gzs).reshape(NC, T, 3)
+        return verts, vstd
+
+    device_ms("  edge-value GATHER application", apply_gather)
+
     def budget_compact(eps):
         tri_valid = tri_ok_v & cell_ok[:, None] & \
             (jnp.max(vstd_v + eps, -1) <= 0.15)
