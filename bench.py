@@ -99,6 +99,11 @@ def _build(config_path, seq):
     args.mapping = exp_util.dict_to_args(args.mapping)
     args.tracking = exp_util.dict_to_args(args.tracking)
     args.run_async = bool(int(os.environ.get("BENCH_ASYNC", "0")))
+    # BENCH_OPTIMIZE=1: enable the per-keyframe latent refinement (the
+    # reference's dormant OptimizeProcess capability) for a capability-on
+    # throughput number; OFF matches the reference's shipped behaviour.
+    if int(os.environ.get("BENCH_OPTIMIZE", "0")):
+        args.do_optimize = True
     tq = args.sequence_kwargs.get("first_tq") if hasattr(
         args, "sequence_kwargs") else None
     if tq is not None:

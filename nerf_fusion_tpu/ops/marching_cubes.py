@@ -62,6 +62,11 @@ class MCResult(NamedTuple):
 
 
 _HI = jax.lax.Precision.HIGHEST
+# For contractions where every output has a SINGLE nonzero term (one-hot
+# selection rows; one source sample per blend-matrix column) there is no
+# accumulation error — only input rounding — so bf16x3 (HIGH) carries
+# f32-equivalent products at half the passes of HIGHEST.
+_APPLY = jax.lax.Precision.HIGH
 
 
 @functools.lru_cache(maxsize=None)
@@ -169,8 +174,8 @@ def _corner_field(indexer, batch_map, positions_b, cube_sdf, cube_std,
         g = planes[jnp.clip(row, 0, B - 1)]                           # (B,S,2)
         Md = jnp.asarray(mats[di])  # constant (blend=None) or operand slice
         okf = ok.astype(jnp.float32)[:, None]
-        num_sdf += jnp.matmul(g[..., 0], Md, precision=_HI) * okf
-        den_sdf += jnp.matmul(g[..., 1], Md, precision=_HI) * okf
+        num_sdf += jnp.matmul(g[..., 0], Md, precision=_APPLY) * okf
+        den_sdf += jnp.matmul(g[..., 1], Md, precision=_APPLY) * okf
         den_std += okf * jnp.asarray(colsums[di])[None, :]
 
     # num_std == den_sdf (both accumulate w*std), so std = den_sdf/den_std.
@@ -303,8 +308,8 @@ def marching_cubes_sparse(indexer, batch_map, positions_b, batch_valid,
     onehot = (cfg_c[:, None] == jnp.arange(256, dtype=cfg_c.dtype)
               ).astype(jnp.float32)                                    # (NC,256)
     tri_sel = jnp.matmul(onehot, jnp.asarray(SEL)).reshape(NC, T, 3, 12)
-    verts = jnp.einsum("ntke,ned->ntkd", tri_sel, ew, precision=_HI)   # (NC,T,3,3)
-    vstd = jnp.einsum("ntke,ne->ntk", tri_sel, es, precision=_HI)      # (NC,T,3)
+    verts = jnp.einsum("ntke,ned->ntkd", tri_sel, ew, precision=_APPLY)  # (NC,T,3,3)
+    vstd = jnp.einsum("ntke,ne->ntk", tri_sel, es, precision=_APPLY)     # (NC,T,3)
     tri_ok = jnp.matmul(onehot, jnp.asarray(EX)) > 0.5                 # (NC,T)
 
     tri_valid = tri_ok & cell_ok[:, None] & (jnp.max(vstd, axis=-1) <= max_std)
