@@ -62,10 +62,16 @@ class MCResult(NamedTuple):
 
 
 _HI = jax.lax.Precision.HIGHEST
-# For contractions where every output has a SINGLE nonzero term (one-hot
-# selection rows; one source sample per blend-matrix column) there is no
-# accumulation error — only input rounding — so bf16x3 (HIGH) carries
-# f32-equivalent products at half the passes of HIGHEST.
+# bf16x3 (HIGH) for the value-carrying MC contractions, at half the passes
+# of HIGHEST.  Two distinct justifications — do NOT lower either to
+# one-pass DEFAULT:
+#  * edge-value einsum: tri_sel rows are one-hot, so each output is a
+#    single product (no accumulation error, only bf16x3 input splitting,
+#    which is f32-equivalent) — but DEFAULT would round world coordinates
+#    to bf16 (~cm-scale error);
+#  * corner-blend matmuls: columns accumulate up to 8 trilinear taps, so
+#    these are genuine short accumulations where bf16x3 ~ f32 (verified by
+#    the bench mesh-|SDF| gate), not exact selections.
 _APPLY = jax.lax.Precision.HIGH
 
 
@@ -327,14 +333,18 @@ def marching_cubes_sparse(indexer, batch_map, positions_b, batch_valid,
     keep_f = keep.astype(jnp.float32)
     packed = jnp.concatenate([
         verts.reshape(-1, 9), vstd.reshape(-1, 3),
-        jnp.broadcast_to(fid_c[:, None], (NC, T)).reshape(-1, 1)
-        .astype(jnp.float32) + 1.0,                     # +1: empty -> 0 -> -1
-    ], axis=1) * keep_f[:, None]                        # (NC*T, 13)
+    ], axis=1) * keep_f[:, None]                        # (NC*T, 12)
     out = jax.ops.segment_sum(packed, seg, num_segments=budget,
                               indices_are_sorted=True)
+    # voxel ids stay int32 through their own segment-sum (a float round
+    # trip is exact only below 2^24 flat ids — larger maps would silently
+    # corrupt the incremental cache's stale-triangle eviction)
+    flat_fid = jnp.broadcast_to(fid_c[:, None], (NC, T)).reshape(-1)
+    out_fid = jax.ops.segment_sum(
+        jnp.where(keep, flat_fid.astype(jnp.int32) + 1, 0), seg,
+        num_segments=budget, indices_are_sorted=True) - 1  # empty -> -1
     out_verts = out[:, :9].reshape(budget, 3, 3)
     out_std = out[:, 9:12]
-    out_fid = out[:, 12].astype(jnp.int32) - 1
     valid = jnp.arange(budget) < n_tri
     return MCResult(out_verts, out_std, out_fid, valid, n_tri, cells_dropped)
 

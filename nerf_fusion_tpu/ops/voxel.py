@@ -59,6 +59,8 @@ def occurrence_count(ids: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
     ~1 ms this way.)  Invalid entries get count 0.
     """
     n = ids.shape[0]
+    if n == 0:
+        return jnp.zeros((0,), jnp.int32)
     big = jnp.iinfo(ids.dtype).max
     keyed = jnp.where(valid, ids, big)
     s, orig = jax.lax.sort((keyed, jnp.arange(n, dtype=jnp.int32)), num_keys=1)

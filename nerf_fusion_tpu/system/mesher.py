@@ -267,7 +267,8 @@ class Mesher:
     def __init__(self, vmap: SparseVoxelMap, max_n_triangles: int = 1 << 17,
                  reeval_fraction: float = 0.25, device=None,
                  mesh_batch_budget: int = 4096,
-                 decode_precision: str = "high"):
+                 decode_precision: str = "high",
+                 mesh_fast: bool = False):
         """``device``: optional second jax device; decode + marching cubes
         then run there on a snapshot copied over ICI, overlapping the
         fusion/tracking programs on the main device (the reference's
@@ -276,6 +277,10 @@ class Mesher:
         self.budget = int(max_n_triangles)
         self.reeval_fraction = reeval_fraction
         self.decode_precision = decode_precision
+        # Default decode mode for extract(fast=None): exact full decode is
+        # both faster AND more accurate than the reference's coarse+re-eval
+        # "fast" mode on TPU (see pipeline.py).
+        self.mesh_fast = bool(mesh_fast)
         self.device = device
         self._dec_params_aux = None
         self.vertices = np.zeros((0, 3, 3), np.float32)
@@ -326,9 +331,14 @@ class Mesher:
         self._thread = None
 
     def extract(self, voxel_resolution: int, max_std: float = 2000.0,
-                fast: bool = True, no_cache: bool = False,
+                fast: bool = None, no_cache: bool = False,
                 extract_async: bool = False, materialize: bool = True):
         """Re-mesh updated voxels; returns (T,3,3) world triangles.
+
+        ``fast=None`` uses the Mesher's configured decode mode
+        (``mesh_fast``) — callers that don't care must not override it, or
+        the cadence and final extractions diverge (and a second variant of
+        the fused program compiles).
 
         ``extract_async`` reproduces the reference's threaded meshing
         contract (map.py:582-608): while an extraction is in flight the
@@ -346,6 +356,8 @@ class Mesher:
         """
         import threading
 
+        if fast is None:
+            fast = self.mesh_fast
         if extract_async:
             if self._thread is not None:
                 if self._thread.is_alive():

@@ -40,18 +40,20 @@ class FusionPipeline:
         self.map = SparseVoxelMap(model, map_args, latent_dim, aux_device=aux)
         # Triangle budget: reference main.py:93 drives int(4e6); configs may
         # override via max_n_triangles.
-        self.mesher = Mesher(self.map, max_n_triangles=int(
-            getattr(args, "max_n_triangles", 4e6)), device=aux,
-            mesh_batch_budget=int(getattr(args, "mesh_batch_budget", 4096)),
-            decode_precision=str(
-                getattr(args, "mesh_decode_precision", "high")))
         # "Fast" (coarse eval + upsample + near-surface re-eval) is the
         # reference's speed mode (map.py:656-683).  On TPU the select +
         # scatter machinery costs MORE than decoding every sample outright
         # (measured per 512-voxel chunk at r=4: full 2.34 ms vs fast 2.67),
-        # so the exact full decode is the default here; `mesh_fast: true`
-        # restores the reference behaviour.
+        # so the exact full decode is the default; `mesh_fast: true`
+        # restores the reference behaviour.  The mode lives on the Mesher
+        # so EVERY extraction (cadence, final, direct callers) uses it.
         self.mesh_fast = bool(getattr(args, "mesh_fast", False))
+        self.mesher = Mesher(self.map, max_n_triangles=int(
+            getattr(args, "max_n_triangles", 4e6)), device=aux,
+            mesh_batch_budget=int(getattr(args, "mesh_batch_budget", 4096)),
+            decode_precision=str(
+                getattr(args, "mesh_decode_precision", "high")),
+            mesh_fast=self.mesh_fast)
         budget = point_budget or int(getattr(map_args, "points_capacity", 16384))
         self.tracker = SDFTracker(self.map, args.tracking, point_budget=budget)
         self.timer = StageTimer()
@@ -98,7 +100,6 @@ class FusionPipeline:
             self.mesher.extract(
                 self.args.resolution,
                 max_std=getattr(self.args, "max_std", 0.15),
-                fast=self.mesh_fast,
                 extract_async=bool(getattr(self.args, "run_async", False)),
                 materialize=False)
             dt = self.timer.stop("mesh")
@@ -145,8 +146,7 @@ class FusionPipeline:
         # where the time goes)
         with self.timer.scope("final_mesh"):
             self.mesher.extract(self.args.resolution,
-                                max_std=getattr(self.args, "max_std", 0.15),
-                                fast=self.mesh_fast)
+                                max_std=getattr(self.args, "max_std", 0.15))
         poses = self.trajectory()
         results = {"n_frames": n, "timing": self.timer.summary()}
         if self.tracker.drop_fracs:

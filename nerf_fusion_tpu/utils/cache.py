@@ -26,7 +26,12 @@ def enable_compile_cache(path: str | None = None) -> str:
     cache = path or os.path.join(
         os.environ.get("XDG_CACHE_HOME", str(Path.home() / ".cache")),
         "nerf_fusion_tpu", "jax")
-    os.makedirs(cache, exist_ok=True)
+    try:
+        os.makedirs(cache, exist_ok=True)
+    except OSError:
+        # read-only HOME / sandboxed deploys: run uncached rather than
+        # failing at entry-point import time
+        return ""
     os.environ["JAX_COMPILATION_CACHE_DIR"] = cache
     # deserialize even quick compiles: the fused programs are many and the
     # default 1s floor skips some of them

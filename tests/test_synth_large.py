@@ -56,8 +56,12 @@ def test_large_trajectory_spans_both_rooms():
 
 
 def test_scene_registry_and_config():
+    from pathlib import Path
+
     assert set(SCENES) >= {"room", "large"}
-    args = exp_util.parse_config_yaml("configs/fusion-scannet-scale.yaml")
+    args = exp_util.parse_config_yaml(
+        Path(__file__).resolve().parent.parent
+        / "configs" / "fusion-scannet-scale.yaml")
     assert args.sequence_kwargs["scene"] == "large"
     assert args.mapping["latent_capacity"] == 65536
     seq = SyntheticSequence(**{**args.sequence_kwargs,

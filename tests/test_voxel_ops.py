@@ -102,3 +102,14 @@ def test_expand_neighbors6_clamps_at_bounds():
     corner = vox.linearize_id(jnp.asarray([[0, 0, 0]]), n_xyz)
     ids, valid = vox.expand_neighbors6(corner, jnp.ones(1, bool), n_xyz)
     assert np.all(np.asarray(ids) >= 0)
+
+
+def test_occurrence_count_empty():
+    import jax.numpy as jnp
+
+    import numpy as np
+
+    from nerf_fusion_tpu.ops import voxel as vox
+
+    c = vox.occurrence_count(jnp.zeros((0,), jnp.int32), jnp.zeros((0,), bool))
+    assert np.asarray(c).shape == (0,)
