@@ -83,7 +83,7 @@ def _ensure_lrkt_data():
     return json.loads(tq_path.read_text())
 
 
-def _build(config_path, seq):
+def _build(config_path, first_tq=None):
     from nerf_fusion_tpu.models.io import load_model
     from nerf_fusion_tpu.system.pipeline import FusionPipeline
     from nerf_fusion_tpu.utils import config as exp_util
@@ -104,29 +104,24 @@ def _build(config_path, seq):
     # throughput number; OFF matches the reference's shipped behaviour.
     if int(os.environ.get("BENCH_OPTIMIZE", "0")):
         args.do_optimize = True
-    tq = args.sequence_kwargs.get("first_tq") if hasattr(
-        args, "sequence_kwargs") else None
+    tq = first_tq if first_tq is not None else (
+        args.sequence_kwargs.get("first_tq")
+        if hasattr(args, "sequence_kwargs") else None)
     if tq is not None:
         args.first_iso = Isometry(q=Quaternion(array=tq[3:]), t=tq[:3])
     return FusionPipeline(model, args), args
 
 
-def _mesh_abs_sdf_error(mesher, sample: int = 200000):
-    """Exact mesh-quality metric: mean |scene SDF| at mesh vertices (the
-    bench scenes are renders of data/synth.py's analytic SDF, so this is
-    a zero-noise reconstruction-error oracle; VERDICT r2 item 3)."""
-    import jax.numpy as jnp
-    import numpy as np
-
+def _mesh_abs_sdf_error(mesher):
+    """Exact mesh-quality metric: mean |scene SDF| at mesh vertices (both
+    bench workloads render data/synth.py's "room" analytic SDF — the lr-kt
+    export is that scene written in ICL-NUIM disk format; VERDICT r2
+    item 3).  One shared implementation with pipeline.run's scene-aware
+    stat (utils.evaluate.mesh_abs_sdf_error)."""
     from nerf_fusion_tpu.data.synth import scene_sdf
+    from nerf_fusion_tpu.utils.evaluate import mesh_abs_sdf_error
 
-    verts = mesher.current_mesh().reshape(-1, 3)
-    if len(verts) == 0:
-        return float("nan")
-    if len(verts) > sample:
-        idx = np.random.default_rng(0).choice(len(verts), sample, False)
-        verts = verts[idx]
-    return float(jnp.mean(jnp.abs(scene_sdf(jnp.asarray(verts)))))
+    return mesh_abs_sdf_error(mesher.current_mesh(), scene_sdf)
 
 
 def _timed_windows(pipe, frames, start: int, n: int, n_windows: int = 3):
@@ -171,12 +166,14 @@ def run_lrkt():
     from nerf_fusion_tpu.utils.evaluate import ate_rmse
 
     tq = _ensure_lrkt_data()
-    pipe, args = _build(REPO / "configs" / "fusion-lr-kt-fast.yaml", None)
-    from nerf_fusion_tpu.utils.se3 import Isometry, Quaternion
-    args.first_iso = Isometry(q=Quaternion(array=tq[3:]), t=tq[:3])
+    pipe, args = _build(REPO / "configs" / "fusion-lr-kt-fast.yaml", first_tq=tq)
     seq = ICLNUIMSequence(path=str(LRKT_DATA), start_frame=0, end_frame=-1,
                           first_tq=tq, load_gt=True)
     n_total = min(len(seq), N_WARMUP + N_BENCH + 10)
+    # the export is 120 frames: clamp oversized BENCH_WARMUP/BENCH_FRAMES
+    # instead of indexing past the list
+    n_warm = min(N_WARMUP, max(1, n_total - 10))
+    n_bench = max(1, min(N_BENCH, n_total - n_warm))
     frames = [next(seq) for _ in range(n_total)]
     # Pre-upload: deployment overlap via PrefetchSequence(upload=True)
     for f in frames:
@@ -188,15 +185,15 @@ def run_lrkt():
     pipe.trajectory()
     first_frame_s = time.perf_counter() - t0
 
-    for i in range(1, N_WARMUP):
+    for i in range(1, n_warm):
         pipe.process_frame(frames[i], i)
     pipe.trajectory()                      # sync: empty the device queue
 
     _sync_all(pipe)
 
-    fps, fps_windows = _timed_windows(pipe, frames, N_WARMUP, N_BENCH)
+    fps, fps_windows = _timed_windows(pipe, frames, n_warm, n_bench)
 
-    for i in range(N_WARMUP + N_BENCH, n_total):
+    for i in range(n_warm + n_bench, n_total):
         pipe.process_frame(frames[i], i)
     pipe.mesher.extract(args.resolution,
                         max_std=getattr(args, "max_std", 0.15))
@@ -238,8 +235,11 @@ def run_synth():
 
 def main():
     logging.basicConfig(level=logging.ERROR)
-    cache = Path(os.environ["JAX_COMPILATION_CACHE_DIR"])
-    cache_warm = cache.exists() and any(cache.iterdir())
+    cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR", "")
+    # "" disables the cache (utils/cache.py); Path("") is "." which would
+    # read as a warm cache
+    cache_warm = bool(cache_dir) and Path(cache_dir).exists() \
+        and any(Path(cache_dir).iterdir())
 
     only = os.environ.get("BENCH_ONLY", "")
     lrkt = run_lrkt() if only in ("", "lrkt") else None

@@ -19,6 +19,7 @@ torch state dict when one is available.
 
 from __future__ import annotations
 
+import functools
 import math
 from typing import NamedTuple
 
@@ -52,9 +53,37 @@ def group_norm(x, groups=8, eps=1e-5):
     return ((xr - mean) * jax.lax.rsqrt(var + eps)).reshape(N, C, H, W)
 
 
+@functools.lru_cache(maxsize=None)
+def _align_corners_matrix(n_in: int, n_out: int):
+    """1-D align_corners=True bilinear resample as an (n_out, n_in) matrix.
+
+    The reference upsamples latents with ``F.interpolate(...,
+    align_corners=True)`` (/root/reference/trainer/img_encoder.py:221,238,
+    267-270); jax.image.resize only offers the half-pixel convention, which
+    diverges everywhere off the sample grid (~6% of range measured), so the
+    resample is built explicitly (and becomes constant-matrix MXU work).
+    """
+    import numpy as np
+    W = np.zeros((n_out, n_in), np.float32)
+    if n_in == 1 or n_out == 1:
+        W[:, 0] = 1.0
+        return W
+    j = np.arange(n_out) * (n_in - 1) / (n_out - 1)
+    lo = np.floor(j).astype(np.int64)
+    hi = np.minimum(lo + 1, n_in - 1)
+    f = (j - lo).astype(np.float32)
+    W[np.arange(n_out), lo] += 1.0 - f
+    W[np.arange(n_out), hi] += f
+    return W
+
+
 def _resize_bilinear(x, h, w):
-    N, C, H, W = x.shape
-    return jax.image.resize(x, (N, C, h, w), method="bilinear")
+    """(N,C,H,W) -> (N,C,h,w) bilinear with align_corners=True semantics."""
+    Wh = jnp.asarray(_align_corners_matrix(x.shape[2], h))
+    Ww = jnp.asarray(_align_corners_matrix(x.shape[3], w))
+    hi = jax.lax.Precision.HIGHEST
+    y = jnp.einsum("hH,ncHW->nchW", Wh, x, precision=hi)
+    return jnp.einsum("wW,nchW->nchw", Ww, y, precision=hi)
 
 
 class SpatialEncoderConfig(NamedTuple):
@@ -272,9 +301,10 @@ def apply_resnet_backbone(params, cfg: ResNetBackboneConfig, images):
     x = _conv_nobias(params["conv1"], images, stride=2, pad=3)
     x = jax.nn.relu(_bn_apply(params["bn1"], x))
     feats = [x]
-    if cfg.num_stages > 0:
+    if cfg.num_stages > 1:
         # stem maxpool precedes layer1 (torch resnet); its /2 is undone by
-        # the upsample-concat below
+        # the upsample-concat below.  At num_stages=1 no layer runs, so the
+        # pool would be dead compute (reference gates on num_layers > 1).
         x = -jax.lax.reduce_window(-x, jnp.inf, jax.lax.min,
                                    (1, 1, 3, 3), (1, 1, 2, 2),
                                    [(0, 0), (0, 0), (1, 1), (1, 1)])

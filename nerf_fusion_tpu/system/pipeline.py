@@ -166,15 +166,10 @@ class FusionPipeline:
         # reconstruction error at the mesh vertices.
         gt_sdf = getattr(sequence, "scene_sdf", None)
         if gt_sdf is not None:
-            verts = self.mesher.current_mesh().reshape(-1, 3)
-            if len(verts):
-                if len(verts) > 200000:
-                    sel = np.random.default_rng(0).choice(len(verts), 200000,
-                                                          replace=False)
-                    verts = verts[sel]
-                import jax.numpy as jnp
-                results["mesh_abs_sdf"] = float(
-                    jnp.mean(jnp.abs(gt_sdf(jnp.asarray(verts)))))
+            from ..utils.evaluate import mesh_abs_sdf_error
+            err = mesh_abs_sdf_error(self.mesher.current_mesh(), gt_sdf)
+            if not np.isnan(err):
+                results["mesh_abs_sdf"] = err
         if output_dir is not None:
             output_dir = Path(output_dir)
             output_dir.mkdir(parents=True, exist_ok=True)

@@ -242,6 +242,7 @@ def train(args, max_steps_per_epoch: int = None, mesh=None, seed: int = 0,
     rng = jax.random.PRNGKey(seed + (resume_epoch or 0))
     it = (start_epoch - 1) * max(len(dataset) // args.batch_size, 1)
     t0 = time.time()
+    t_log = t0   # timestamp of the previous NERF_TRAIN_LOG_STEPS line
     for epoch in range(start_epoch, args.num_epochs + 1):
         lr_dec = schedules[0].get_learning_rate(epoch)
         lr_enc = schedules[1].get_learning_rate(epoch)
@@ -277,8 +278,13 @@ def train(args, max_steps_per_epoch: int = None, mesh=None, seed: int = 0,
             it += 1
             last_logs = logs
             if _LOG_STEPS and it % _LOG_STEPS == 0:
+                now = time.time()
+                # rate over the LAST _LOG_STEPS only (a lifetime average
+                # dilutes tunnel slowdowns and early compile time — the
+                # exact phases this knob exists to expose)
                 logging.info("step %d (%.2f s/step recent)", it,
-                             (time.time() - t0) / max(it, 1))
+                             (now - t_log) / _LOG_STEPS)
+                t_log = now
             # Fetch loss scalars only every 10 steps: each float() is a
             # device->host sync that would otherwise serialise the step queue.
             if it % 10 == 0:

@@ -58,6 +58,25 @@ def chamfer_distance(a: np.ndarray, b: np.ndarray, sample: int = 30000,
     }
 
 
+def mesh_abs_sdf_error(vertices: np.ndarray, sdf_fn,
+                       sample: int = 200000) -> float:
+    """Mean |analytic SDF| at mesh vertices — an exact reconstruction-error
+    oracle for scenes rendered from a known SDF (BASELINE.md:32 parity
+    metric).  ``sdf_fn`` is the scene's SDF (e.g. ``sequence.scene_sdf``)
+    so multi-scene workloads (data/synth.py SCENES) evaluate against the
+    right geometry.  Shared by pipeline.run stats and bench.py gates.
+    """
+    import jax.numpy as jnp
+
+    verts = np.asarray(vertices).reshape(-1, 3)
+    if len(verts) == 0:
+        return float("nan")
+    if len(verts) > sample:
+        idx = np.random.default_rng(0).choice(len(verts), sample, False)
+        verts = verts[idx]
+    return float(jnp.mean(jnp.abs(sdf_fn(jnp.asarray(verts)))))
+
+
 def sample_mesh_points(tris: np.ndarray, n: int = 50000, seed: int = 0) -> np.ndarray:
     """Area-weighted uniform samples on a triangle soup (T,3,3)."""
     rng = np.random.RandomState(seed)

@@ -81,21 +81,20 @@ def test_import_torch_backbone_parity():
         feats = net.features(x)
         h, w = feats[0].shape[2], feats[0].shape[3]
         import torch.nn.functional as F
+        # align_corners=True is the reference SpatialEncoder's convention
+        # (/root/reference/trainer/img_encoder.py:221,238,267-270)
         up = [feats[0]] + [F.interpolate(f, (h, w), mode="bilinear",
-                                         align_corners=False)
+                                         align_corners=True)
                            for f in feats[1:]]
         ref = torch.cat(up, 1).numpy()
 
     params = import_torch_backbone(net.state_dict(), depth=18)
     cfg = ResNetBackboneConfig(depth=18, num_stages=4)
     out = np.asarray(apply_resnet_backbone(params, cfg, jnp.asarray(x.numpy())))
-    # conv stages must match to fp tolerance; upsample resamplers differ
-    # slightly in tie handling, so compare on the non-interpolated stage
-    # exactly and the full latent loosely
-    np.testing.assert_allclose(out[:, :64], ref[:, :64], atol=2e-4)
     assert out.shape == ref.shape
-    err = np.abs(out - ref)
-    assert np.median(err) < 1e-3, f"median {np.median(err)}"
+    # whole latent (conv stages AND the align_corners upsamples) matches
+    # the torch oracle to fp tolerance
+    np.testing.assert_allclose(out, ref, atol=5e-4)
 
 
 def test_random_init_shapes_and_factory():
