@@ -40,7 +40,11 @@ sys.path.insert(0, str(REPO / "tools"))
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
 
 N_WARMUP = int(os.environ.get("BENCH_WARMUP", 30))
-N_BENCH = int(os.environ.get("BENCH_FRAMES", 60))
+# 90 frames = three 30-frame windows: each window still pays two bracket
+# syncs (~30-60 ms tunnel roundtrips), so longer windows measure the
+# pipeline rather than the sync overhead (60-frame protocol read ~8%
+# low: 84 vs 93 fps at identical code).
+N_BENCH = int(os.environ.get("BENCH_FRAMES", 90))
 LRKT_DATA = Path(os.environ.get("BENCH_LRKT_DATA",
                                 REPO / "output" / "lrkt_data" / "lr-kt"))
 
