@@ -188,8 +188,11 @@ def integrate_keyframe(state: MapState, cfg: MapConfig,
     rel = xyz_norm[:, None, :] - tgt.astype(jnp.float32) - 0.5  # (N,8,3)
     tgt_gid = vox.linearize_id(tgt, cfg.n_xyz)                  # (N,8)
     tgt_slot = state.indexer[tgt_gid]                           # (N,8)
-    contrib = point_focus[:, None] & (tgt_slot >= 0) & enc_slot_mask[
-        jnp.clip(tgt_slot, 0, cfg.latent_capacity - 1)]         # (N,8)
+    # Per-PAIR validity only: the encoder-eligibility test
+    # (enc_slot_mask[tgt_slot]) is per-SLOT and therefore constant within
+    # a segment, so it moves AFTER the reduction — the per-pair gather of
+    # a (C,) mask at 8N indices was ~4 ms of scalar-unit work in context.
+    pair_ok = point_focus[:, None] & (tgt_slot >= 0)            # (N,8)
 
     feats = jnp.concatenate(
         [rel, jnp.broadcast_to(normals[:, None, :], rel.shape)], axis=-1
@@ -198,12 +201,17 @@ def integrate_keyframe(state: MapState, cfg: MapConfig,
     # 5. Shared-MLP encoder over all (point, corner) pairs.
     enc_latent, _ = apply_encoder(enc_params, enc_bn, enc_cfg, feats, train=False)
 
-    # 6. Bayesian running-mean fusion via segment-sum (map.py:446-452).
+    # 6. Bayesian running-mean fusion via ONE (L+1)-channel segment-sum
+    # (latent channels + pair count; map.py:446-452), slot-eligibility
+    # applied post-reduction.
     seg = jnp.clip(tgt_slot.reshape(-1), 0, cfg.latent_capacity - 1)
-    cmask = contrib.reshape(-1)
-    lat_sum = vox.masked_segment_sum(enc_latent, seg, cmask, cfg.latent_capacity)
-    cnt = vox.masked_segment_sum(jnp.ones_like(seg, jnp.float32), seg, cmask,
-                                 cfg.latent_capacity)
+    cmask = pair_ok.reshape(-1)
+    packed = jnp.concatenate(
+        [enc_latent, jnp.ones((enc_latent.shape[0], 1), enc_latent.dtype)],
+        axis=1)
+    red = vox.masked_segment_sum(packed, seg, cmask, cfg.latent_capacity)
+    lat_sum = jnp.where(enc_slot_mask[:, None], red[:, :-1], 0.0)
+    cnt = jnp.where(enc_slot_mask, red[:, -1], 0.0)
     new_total = state.obs_count + cnt
     fused = (lat_sum + state.latents * state.obs_count[:, None]) \
         / jnp.maximum(new_total, 1.0)[:, None]
@@ -213,7 +221,7 @@ def integrate_keyframe(state: MapState, cfg: MapConfig,
 
     stats = {
         "n_points": jnp.sum(valid), "n_updated_voxels": jnp.sum(updated),
-        "n_occupied": state.n_occupied, "n_contrib": jnp.sum(cmask),
+        "n_occupied": state.n_occupied, "n_contrib": jnp.sum(cnt),
     }
     return state, updated, stats
 

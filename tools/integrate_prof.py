@@ -176,6 +176,44 @@ def main():
                   vox.masked_segment_sum(jnp.ones_like(seg, jnp.float32),
                                          seg, cmask, cfg.latent_capacity)))
 
+    # cumulative prefixes of the real body (isolated probes hide
+    # fusion/layout interactions; whole - last prefix = the residual)
+    @jax.jit
+    def prefix_through_allocate(eps):
+        st = map_mod._allocate(state, cfg,
+                               gid + (eps * 0).astype(gid.dtype), valid)
+        return st.indexer.sum(), st.n_occupied
+
+    device_ms("  prefix: transform+prune+allocate", prefix_through_allocate)
+
+    @jax.jit
+    def prefix_through_encoder(eps):
+        st = map_mod._allocate(state, cfg, gid, valid)
+        enc_slot_mask = (st.positions >= 0) & \
+            (st.obs_count < cfg.encoder_count_th)
+        enc_pos = jnp.where(enc_slot_mask, st.positions, 0)
+        exp_ids, exp_valid = vox.expand_neighbors6(enc_pos, enc_slot_mask,
+                                                   cfg.n_xyz)
+        focus_grid = jnp.zeros((cfg.n_voxels,), bool).at[
+            jnp.where(exp_valid, exp_ids, 0)].set(exp_valid, mode="drop")
+        pf = focus_grid[gid] & valid
+        tgt = jnp.ceil(xyz_norm[:, None, :] + eps
+                       + offs[None, :, :]).astype(jnp.int32) - 1
+        tgt = jnp.clip(tgt, 0, n_xyz_arr[None, None, :] - 1)
+        rel = xyz_norm[:, None, :] - tgt.astype(jnp.float32) - 0.5
+        tgt_gid2 = vox.linearize_id(tgt, cfg.n_xyz)
+        tgt_slot2 = st.indexer[tgt_gid2]
+        f = jnp.concatenate(
+            [rel, jnp.broadcast_to(nrm_w[:, None, :], rel.shape)],
+            axis=-1).reshape(-1, 6)
+        lat, _ = apply_encoder(vmap.model.encoder_params,
+                               vmap.model.encoder_bn,
+                               vmap.model.encoder_config, f, train=False)
+        return lat.sum(), pf.sum(), tgt_slot2.sum()
+
+    device_ms("  prefix: ... + focus + corner + encoder",
+              prefix_through_encoder)
+
     def fusion_sorted(eps):
         segk = jnp.where(cmask, seg, cfg.latent_capacity)
         s, order = jax.lax.sort(
