@@ -89,6 +89,23 @@ def compose(Ra, ta, Rb, tb):
             jnp.einsum("...ij,...j->...i", Ra, tb, precision=_HI) + ta)
 
 
+def inverse(R, t):
+    """(R,t)^-1 = (R^T, -R^T t)."""
+    Rt = jnp.swapaxes(R, -1, -2)
+    return Rt, -jnp.einsum("...ij,...j->...i", Rt, t, precision=_HI)
+
+
+def se3_log(R, t):
+    """(R (3,3), t (3,)) -> twist (6,) with se3_exp(se3_log(T)) == T.
+
+    rho solves J_l(phi) rho = t (the left Jacobian is well-conditioned for
+    the small tracking increments this is used on).
+    """
+    phi = so3_log(R)
+    rho = jnp.linalg.solve(so3_left_jacobian(phi), t)
+    return jnp.concatenate([rho, phi], axis=-1)
+
+
 def transform_points(R: jnp.ndarray, t: jnp.ndarray, pts: jnp.ndarray) -> jnp.ndarray:
     """Apply (R,t) to (N,3) points."""
     return jnp.matmul(pts, R.T, precision=_HI) + t[None, :]

@@ -201,3 +201,86 @@ def test_degenerate_frame_keeps_pose_finite():
     assert len(poses) == 4
     for p in poses:
         assert np.all(np.isfinite(p.matrix)), "NaN leaked into the pose chain"
+
+
+def test_se3_log_roundtrip():
+    import jax.numpy as jnp
+    import numpy as np
+
+    from nerf_fusion_tpu.utils import se3_jax as sj
+
+    rng = np.random.default_rng(7)
+    for _ in range(10):
+        xi = jnp.asarray(rng.normal(0, 0.2, (6,)).astype(np.float32))
+        R, t = sj.se3_exp(xi)
+        xi2 = sj.se3_log(R, t)
+        np.testing.assert_allclose(np.asarray(xi2), np.asarray(xi),
+                                   atol=2e-5)
+        iR, it_ = sj.inverse(R, t)
+        Ri, ti = sj.compose(R, t, iR, it_)
+        np.testing.assert_allclose(np.asarray(Ri), np.eye(3), atol=1e-6)
+        np.testing.assert_allclose(np.asarray(ti), 0.0, atol=1e-6)
+
+
+def test_rgb_linear_model_error_documents_no_lazy_relin():
+    """NEGATIVE RESULT, pinned: a lazy photometric relinearization
+    (re-gather every K iterations, propagate g(xi) = g0 + H0 xi between)
+    was prototyped to cut the tracker's dominant warp gather and REJECTED:
+    the Gauss-Newton H underestimates the warp's true curvature, so the
+    frozen linear model mispredicts the fresh gradient by ~20% at
+    tracking-scale steps (measured 22% at |xi| ~ 2e-3) — compounding into
+    ~0.3 m pose drift on the easy synthetic orbit.  This test pins the
+    model-error magnitude so a future attempt starts from the evidence."""
+    import jax
+    import numpy as np
+
+    from nerf_fusion_tpu.data.synth import SyntheticSequence
+    from nerf_fusion_tpu.ops import imgproc
+    from nerf_fusion_tpu.system import tracker as T
+    from nerf_fusion_tpu.system.frontend import preprocess_frame
+    from nerf_fusion_tpu.utils import se3_jax as sj
+    from nerf_fusion_tpu.utils.config import dict_to_args
+
+    jnp = jax.numpy
+    seq = SyntheticSequence(n_frames=2, width=160, height=120)
+    f0, f1 = seq.render_frame(0), seq.render_frame(1)
+    c = f0.calib
+    kw = dict(depth_cut_min=0.5, depth_cut_max=5.0, point_budget=4096,
+              subsample=0.5)
+    p0 = preprocess_frame(jnp.asarray(f0.rgb, jnp.float32),
+                          jnp.asarray(f0.depth, jnp.float32),
+                          c.fx, c.fy, c.cx, c.cy, **kw)
+    p1 = preprocess_frame(jnp.asarray(f1.rgb, jnp.float32),
+                          jnp.asarray(f1.depth, jnp.float32),
+                          c.fx, c.fy, c.cx, c.cy, **kw)
+    args = dict_to_args(dict(
+        iter_config=[{"n": 2, "type": [["rgb", 0]]}],
+        sdf={"robust_kernel": "huber", "robust_k": 5.0, "subsample": 0.5},
+        rgb={"weight": 500.0, "robust_kernel": None, "pixel_budget": 4096}))
+    tcfg = T.TrackerConfig.from_args(args)
+    pix = imgproc.select_photometric_pixels(
+        p1.pyramid.intensity[0], p1.pyramid.depth[0], p1.pyramid.gradient[0],
+        4096, 0.0, stride=1)
+    Hl, Wl = p1.pyramid.intensity[0].shape
+    prev_packed = jax.lax.complex(p0.pyramid.intensity[0],
+                                  p0.pyramid.depth[0]).reshape(-1)
+    sparse = (prev_packed, Wl, Hl, pix)
+    level = (p0.pyramid.intensity[0], p0.pyramid.depth[0],
+             p1.pyramid.intensity[0], p1.pyramid.depth[0],
+             p1.pyramid.gradient[0])
+
+    def rgbHg(dR, dt):
+        return T._rgb_Hg(tcfg, level, c.fx, c.fy, c.cx, c.cy, dR, dt, 500.0,
+                         sparse=sparse)
+
+    H0, g0, _ = rgbHg(jnp.eye(3), jnp.zeros(3))
+    xi = jnp.asarray(np.random.default_rng(0).normal(0, 2e-3, (6,))
+                     .astype(np.float32))
+    eR, et = sj.se3_exp(xi)
+    _, g1, _ = rgbHg(eR, et)
+    g_pred = g0 + H0 @ jnp.asarray(xi)
+    rel = float(np.linalg.norm(np.asarray(g1 - g_pred))
+                / (np.linalg.norm(np.asarray(g1)) + 1e-9))
+    # the model error is REAL (>5%) — if this ever drops well below that,
+    # the lazy-relinearization idea becomes viable again
+    assert 0.02 < rel < 1.0, rel
