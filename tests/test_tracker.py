@@ -284,3 +284,4 @@ def test_rgb_linear_model_error_documents_no_lazy_relin():
     # the model error is REAL (>5%) — if this ever drops well below that,
     # the lazy-relinearization idea becomes viable again
     assert 0.02 < rel < 1.0, rel
+
