@@ -14,12 +14,42 @@ For fast genuinely-local runs invoke pytest as:
   JAX_COMPILATION_CACHE_DIR=/root/.jax_cache_cpu python -m pytest tests/ -q
 """
 
+import hashlib
 import os
+import platform
 import sys
+from pathlib import Path
 
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
+
+
+def _machine_tag() -> str:
+    """XLA:CPU AOT artifacts bake in host machine features; a cache built
+    on a different host spams feature-mismatch warnings and can SIGILL
+    (same issue __graft_entry__._dryrun_cache_dir fixes for the dryrun).
+    Key the test cache by a cpu-model+flags fingerprint."""
+    try:
+        cpuinfo = Path("/proc/cpuinfo").read_text()
+        lines = [l for l in cpuinfo.splitlines()
+                 if l.startswith(("model name", "flags"))]
+        return hashlib.sha256(("\n".join(sorted(set(lines)))
+                               + platform.machine()).encode()).hexdigest()[:12]
+    except OSError:
+        return platform.machine()
+
+
 # Persistent compile cache: compiles dominate test time on this host.
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
+if "JAX_COMPILATION_CACHE_DIR" not in os.environ:
+    os.environ["JAX_COMPILATION_CACHE_DIR"] = \
+        f"/root/.jax_cache_tests-{_machine_tag()}"
+elif os.environ.get("JAX_PLATFORMS") == "cpu" \
+        and os.environ["JAX_COMPILATION_CACHE_DIR"]:
+    # explicit dirs (CI recipes pass /root/.jax_cache_cpu) get keyed too,
+    # so a host change invalidates instead of SIGILL-ing
+    base = os.environ["JAX_COMPILATION_CACHE_DIR"].rstrip("/")
+    tag = _machine_tag()
+    if not base.endswith(tag):
+        os.environ["JAX_COMPILATION_CACHE_DIR"] = f"{base}-{tag}"
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
