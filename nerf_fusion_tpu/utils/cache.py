@@ -10,22 +10,40 @@ an explicit ``JAX_COMPILATION_CACHE_DIR`` (or ``=""`` to disable) wins.
 
 from __future__ import annotations
 
+import hashlib
 import os
+import platform
 from pathlib import Path
+
+
+def _machine_tag() -> str:
+    """cpu-model+flags fingerprint: XLA:CPU AOT artifacts bake in host
+    machine features, and loading a cache built on a different host spams
+    feature-mismatch warnings with SIGILL risk."""
+    try:
+        cpuinfo = Path("/proc/cpuinfo").read_text()
+        lines = [l for l in cpuinfo.splitlines()
+                 if l.startswith(("model name", "flags"))]
+        return hashlib.sha256(("\n".join(sorted(set(lines)))
+                               + platform.machine()).encode()).hexdigest()[:12]
+    except OSError:
+        return platform.machine()
 
 
 def enable_compile_cache(path: str | None = None) -> str:
     """Set JAX_COMPILATION_CACHE_DIR if unset; returns the active dir.
 
     Must run before jax initializes its backends (i.e. at entry-point
-    import time).  An empty-string env value disables the cache.
+    import time).  An empty-string env value disables the cache.  The
+    default dir is keyed by a machine fingerprint so a host change
+    invalidates the cache instead of loading foreign CPU AOT code.
     """
     existing = os.environ.get("JAX_COMPILATION_CACHE_DIR")
     if existing is not None:
         return existing
     cache = path or os.path.join(
         os.environ.get("XDG_CACHE_HOME", str(Path.home() / ".cache")),
-        "nerf_fusion_tpu", "jax")
+        "nerf_fusion_tpu", f"jax-{_machine_tag()}")
     try:
         os.makedirs(cache, exist_ok=True)
     except OSError:
