@@ -59,13 +59,9 @@ def make_train_step(dec_cfg, enc_cfg_train: EncoderConfig, loss_names,
                     dec_opt, enc_opt):
     loss_fns = criterion.get_losses(loss_names)
 
-    @functools.partial(
-        jax.jit,
-        donate_argnames=("dec_params", "enc_params", "enc_bn",
-                         "dec_opt_state", "enc_opt_state"))
-    def train_step(dec_params, enc_params, enc_bn,
-                   dec_opt_state, enc_opt_state,
-                   sdf_data, surface_data, rng, epoch, lr_dec, lr_enc):
+    def step_core(dec_params, enc_params, enc_bn,
+                  dec_opt_state, enc_opt_state,
+                  sdf_data, surface_data, rng, epoch, lr_dec, lr_enc):
         B = surface_data.shape[0]
         num_sdf_samples = B * samples_per_lif
 
@@ -112,7 +108,66 @@ def make_train_step(dec_cfg, enc_cfg_train: EncoderConfig, loss_names,
         enc_params = optax.apply_updates(enc_params, eu)
         return dec_params, enc_params, new_bn, dec_opt_state, enc_opt_state, logs, lat
 
-    return train_step
+    jitted = jax.jit(
+        step_core,
+        donate_argnames=("dec_params", "enc_params", "enc_bn",
+                         "dec_opt_state", "enc_opt_state"))
+
+    class _TrainStep:
+        """Callable jitted step; `.core` is the un-jitted body, reusable
+        inside larger programs (the epoch-in-one-dispatch scan)."""
+        core = staticmethod(step_core)
+
+        def __call__(self, *a, **kw):
+            return jitted(*a, **kw)
+
+    return _TrainStep()
+
+
+def make_steps_runner(step_core, sample_fn):
+    """Scan `step_core` over a (K, B) index matrix in ONE device program.
+
+    With HBM-resident data (`device_data: true`) the per-step host work is
+    only a dispatch — but through a thin/tunneled link even dispatch costs
+    tens of ms (measured: the 4096-sample step is 8 ms of device time vs
+    ~60 ms/step wall through a loaded tunnel).  Scanning K steps per
+    dispatch amortizes it away.  RNG split order matches the per-step host
+    loop exactly (sample key first, then step key), so the result matches
+    K single-step calls with the same starting key to last-ulp (the scanned
+    and standalone step programs fuse slightly differently).
+
+    `sample_fn(key, idxs)` -> (sdf (B,S,4), surface (B,M,6)); its pool
+    arrays must be CLOSED-OVER DEVICE ARRAYS (jax treats them as
+    constants resident on device, not baked into the serialized program).
+    """
+
+    @functools.partial(
+        jax.jit,
+        donate_argnames=("dec_params", "enc_params", "enc_bn",
+                         "dec_opt_state", "enc_opt_state"))
+    def run_steps(dec_params, enc_params, enc_bn,
+                  dec_opt_state, enc_opt_state,
+                  idx_mat, rng, epoch, lr_dec, lr_enc):
+        def body(carry, idxs):
+            dp, ep, bn, dos, eos, key = carry
+            key, kb = jax.random.split(key)
+            sdf_b, surf_b = sample_fn(kb, idxs)
+            key, ks = jax.random.split(key)
+            dp, ep, bn, dos, eos, logs, _ = step_core(
+                dp, ep, bn, dos, eos, sdf_b, surf_b, ks,
+                epoch, lr_dec, lr_enc)
+            return (dp, ep, bn, dos, eos, key), logs
+
+        (dp, ep, bn, dos, eos, key), logs = jax.lax.scan(
+            body,
+            (dec_params, enc_params, enc_bn, dec_opt_state, enc_opt_state,
+             rng), idx_mat)
+        last_logs = jax.tree_util.tree_map(lambda x: x[-1], logs)
+        mean_logs = jax.tree_util.tree_map(
+            lambda x: jnp.mean(x, axis=0), logs)
+        return dp, ep, bn, dos, eos, mean_logs, last_logs, key
+
+    return run_steps
 
 
 class ScalarLogger:
@@ -230,6 +285,8 @@ def train(args, max_steps_per_epoch: int = None, mesh=None, seed: int = 0,
     # assembled batch) to the (B,) index vector.  Single-device only: under
     # a dp mesh the batch must be host-sharded across processes instead.
     dev_ds = None
+    steps_runner = None
+    steps_per_call = int(getattr(args, "steps_per_call", 1))
     if bool(getattr(args, "device_data", False)):
         if mesh is not None:
             logging.warning("device_data ignored under a device mesh")
@@ -238,6 +295,10 @@ def train(args, max_steps_per_epoch: int = None, mesh=None, seed: int = 0,
             dev_ds = DeviceLifDataset.from_dataset(dataset)
             logging.info("device-resident LIF pools: %.2f GB in HBM",
                          dev_ds.hbm_bytes / 1e9)
+            if steps_per_call > 1:
+                # epoch-in-few-dispatches: scan K steps per device call
+                # (same batches/RNG order as the per-step path)
+                steps_runner = make_steps_runner(step_fn.core, dev_ds.sample)
 
     rng = jax.random.PRNGKey(seed + (resume_epoch or 0))
     it = (start_epoch - 1) * max(len(dataset) // args.batch_size, 1)
@@ -249,7 +310,39 @@ def train(args, max_steps_per_epoch: int = None, mesh=None, seed: int = 0,
         meter = AverageMeter()
         running = RunningAverageMeter(alpha=0.3)
         last_logs = None
-        if dev_ds is not None:
+        if steps_runner is not None:
+            perm = np.random.RandomState(seed + epoch).permutation(len(dataset))
+            n_steps = len(dataset) // args.batch_size
+            if max_steps_per_epoch is not None:
+                n_steps = min(n_steps, max_steps_per_epoch)
+            idx_all = perm[:n_steps * args.batch_size].reshape(
+                n_steps, args.batch_size).astype(np.int32)
+            s = 0
+            while s < n_steps:
+                k = min(steps_per_call, n_steps - s)
+                (model.decoder_params, model.encoder_params, model.encoder_bn,
+                 dec_opt_state, enc_opt_state, mean_logs, last_logs,
+                 rng) = steps_runner(
+                    model.decoder_params, model.encoder_params,
+                    model.encoder_bn, dec_opt_state, enc_opt_state,
+                    jnp.asarray(idx_all[s:s + k]), rng,
+                    epoch, lr_dec, lr_enc)
+                s += k
+                it += k
+                host_logs = {kk: float(v) for kk, v in mean_logs.items()}
+                running.append_loss(host_logs)
+                meter.append_loss(host_logs)
+                for kk, v in host_logs.items():
+                    viz.update(f"train/{kk}", it, {"scalar": v})
+                if _LOG_STEPS:
+                    now = time.time()
+                    logging.info("step %d (%.3f s/step over last call)",
+                                 it, (now - t_log) / k)
+                    t_log = now
+            last_logs = {kk: v for kk, v in last_logs.items()} \
+                if n_steps else None
+            batch_iter = iter(())     # epoch consumed by the runner
+        elif dev_ds is not None:
             perm = np.random.RandomState(seed + epoch).permutation(len(dataset))
             n_steps = len(dataset) // args.batch_size
             def batches():

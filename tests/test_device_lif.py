@@ -104,3 +104,49 @@ def test_trainer_device_data_path(tiny_lif_dir):
         save_dir=str(tiny_lif_dir.parent / "ckpt")))
     model, save_dir = train(args, max_steps_per_epoch=6)
     assert model is not None
+
+
+@pytest.mark.slow
+def test_steps_per_call_bit_identical(tiny_lif_dir):
+    """The epoch-in-few-dispatches scan (steps_per_call > 1) reproduces the
+    per-step device_data path: same RNG split order, same batches, same
+    parameter trajectory (up to last-ulp XLA fusion differences between
+    the scanned and standalone step programs)."""
+    from nerf_fusion_tpu.trainer.train import train
+
+    def cfg(run, spc):
+        # one epoch: the per-step generator pre-pulls one batch before a
+        # max_steps_per_epoch break (an extra RNG split), so cross-epoch
+        # sequences only match when epochs run to completion
+        return dict_to_args(dict(
+            run_name=run, num_epochs=1, batch_size=4, batch_split=1,
+            samples_per_lif=256, min_context_points=16, device_data=True,
+            steps_per_call=spc,
+            lr_schedule=[{"Type": "Step", "Initial": 1e-3, "Interval": 80,
+                          "Factor": 0.4}] * 2,
+            train_set=[{"data_path": str(tiny_lif_dir),
+                        "augment_rotation": "Y",
+                        "num_surface_sample": 64,
+                        "augment_noise": [0.025, 40.0]}],
+            code_bound=None, code_length=29,
+            network_name="di_decoder",
+            network_specs={"dims": [32, 32], "dropout": [0, 1, 2],
+                           "dropout_prob": 0.2, "norm_layers": [0, 1, 2],
+                           "latent_in": [1], "weight_norm": True},
+            encoder_name="di_encoder",
+            encoder_specs={"per_point_feat": [6, 16, 32],
+                           "bn": {"class": "BatchNorm"}},
+            snapshot_frequency=100, additional_snapshots=[],
+            training_loss={"types": ["neg_log_likelihood", "reg_loss"],
+                           "enforce_minmax": True, "clamping_distance": 0.2,
+                           "code_reg_lambda": 1e-2},
+            save_dir=str(tiny_lif_dir.parent / "ckpt_spc")))
+
+    m1, _ = train(cfg("spc1", 1), max_steps_per_epoch=5)
+    m3, _ = train(cfg("spc3", 3), max_steps_per_epoch=5)  # 3 + remainder 2
+    for a, b in zip(jax.tree_util.tree_leaves(m1.decoder_params),
+                    jax.tree_util.tree_leaves(m3.decoder_params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-7)
+    for a, b in zip(jax.tree_util.tree_leaves(m1.encoder_params),
+                    jax.tree_util.tree_leaves(m3.encoder_params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-7)
