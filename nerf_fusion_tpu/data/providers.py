@@ -50,7 +50,7 @@ class SimpleShapeGenerator:
         else:
             V, F = M.cylinder_mesh(0.5, 1.0)
             V = V * np.array([s(), s(), s()])
-        tf = Isometry.random()
+        tf = Isometry.random(rng)
         tf.t = rng.uniform(-0.5, 0.5, size=3)
         V = M.transform_mesh(V, tf.matrix)
         cams, ortho = self._virtual_cameras(V)

@@ -331,7 +331,7 @@ class Mesher:
         self._thread = None
 
     def extract(self, voxel_resolution: int, max_std: float = 2000.0,
-                fast: bool = None, no_cache: bool = False,
+                fast: "bool | None" = None, no_cache: bool = False,
                 extract_async: bool = False, materialize: bool = True):
         """Re-mesh updated voxels; returns (T,3,3) world triangles.
 

@@ -95,6 +95,12 @@ class TrackerConfig(NamedTuple):
         pre = getattr(args, "preprocess", {}) or {}
         if not isinstance(pre, dict):
             pre = vars(pre)
+        # motion: block may arrive as a dict OR a dict_to_args Namespace
+        # (the shape the reference config format names) — like the
+        # sdf/rgb/preprocess siblings above
+        motion = getattr(args, "motion", {}) or {}
+        if not isinstance(motion, dict):
+            motion = vars(motion)
         groups = []
         for g in args.iter_config:
             terms = tuple(tuple(t) for t in g["type"])
@@ -120,8 +126,7 @@ class TrackerConfig(NamedTuple):
             # scaling.
             scale_level_intrinsics=bool(rgb.get("scale_intrinsics", False)),
             rgb_pixel_budget=int(rgb.get("pixel_budget", 0)),
-            motion_weight=float(getattr(args, "motion", {}).get("weight", 1.0)
-                                if hasattr(args, "motion") else 1.0),
+            motion_weight=float(motion.get("weight", 1.0)),
             outlier_radius=float(pre.get("outlier_radius", 0.05)),
             outlier_min_nb=int(pre.get("outlier_min_nb", 16)),
             normal_radius=float(pre.get("normal_radius", 0.1)),

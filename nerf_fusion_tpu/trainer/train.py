@@ -132,9 +132,18 @@ def make_steps_runner(step_core, sample_fn):
     tens of ms (measured: the 4096-sample step is 8 ms of device time vs
     ~60 ms/step wall through a loaded tunnel).  Scanning K steps per
     dispatch amortizes it away.  RNG split order matches the per-step host
-    loop exactly (sample key first, then step key), so the result matches
-    K single-step calls with the same starting key to last-ulp (the scanned
-    and standalone step programs fuse slightly differently).
+    loop exactly (sample key first, then step key), so the result is
+    trajectory-equivalent to K single-step calls with the same starting
+    key.  "Equivalent" is up to last-ulp XLA fusion differences between
+    the scanned and standalone step programs, amplified by Adam's
+    1/(sqrt(v)+eps) normalization — NOT bit-identical (pinned with a
+    justified tolerance by tests/test_device_lif.py).
+
+    A chunk shorter than K (the epoch's tail) is padded and masked via
+    `valid`: padded rows run a throwaway step whose outputs (including the
+    carried RNG key) are discarded, so every dispatch reuses the ONE
+    compiled K-step program and the trajectory matches the unpadded one
+    exactly.
 
     `sample_fn(key, idxs)` -> (sdf (B,S,4), surface (B,M,6)); its pool
     arrays must be CLOSED-OVER DEVICE ARRAYS (jax treats them as
@@ -147,24 +156,33 @@ def make_steps_runner(step_core, sample_fn):
                          "dec_opt_state", "enc_opt_state"))
     def run_steps(dec_params, enc_params, enc_bn,
                   dec_opt_state, enc_opt_state,
-                  idx_mat, rng, epoch, lr_dec, lr_enc):
-        def body(carry, idxs):
+                  idx_mat, valid, rng, epoch, lr_dec, lr_enc):
+        def body(carry, xs):
+            idxs, v = xs
             dp, ep, bn, dos, eos, key = carry
-            key, kb = jax.random.split(key)
+            nkey, kb = jax.random.split(key)
             sdf_b, surf_b = sample_fn(kb, idxs)
-            key, ks = jax.random.split(key)
+            nkey, ks = jax.random.split(nkey)
             dp, ep, bn, dos, eos, logs, _ = step_core(
                 dp, ep, bn, dos, eos, sdf_b, surf_b, ks,
                 epoch, lr_dec, lr_enc)
-            return (dp, ep, bn, dos, eos, key), logs
+            # padded (invalid) steps: keep the old carry — including the
+            # RNG key, so key-consumption order matches the per-step path
+            new_carry = jax.tree_util.tree_map(
+                lambda n, o: jnp.where(v, n, o),
+                (dp, ep, bn, dos, eos, nkey), carry)
+            return new_carry, logs
 
         (dp, ep, bn, dos, eos, key), logs = jax.lax.scan(
             body,
             (dec_params, enc_params, enc_bn, dec_opt_state, enc_opt_state,
-             rng), idx_mat)
-        last_logs = jax.tree_util.tree_map(lambda x: x[-1], logs)
+             rng), (idx_mat, valid))
+        w = valid.astype(jnp.float32)
+        n_valid = jnp.sum(valid.astype(jnp.int32))
+        last_logs = jax.tree_util.tree_map(
+            lambda x: x[n_valid - 1], logs)
         mean_logs = jax.tree_util.tree_map(
-            lambda x: jnp.mean(x, axis=0), logs)
+            lambda x: jnp.sum(x * w, axis=0) / jnp.sum(w), logs)
         return dp, ep, bn, dos, eos, mean_logs, last_logs, key
 
     return run_steps
@@ -320,12 +338,20 @@ def train(args, max_steps_per_epoch: int = None, mesh=None, seed: int = 0,
             s = 0
             while s < n_steps:
                 k = min(steps_per_call, n_steps - s)
+                idx_chunk = idx_all[s:s + k]
+                if k < steps_per_call:
+                    # pad the tail chunk so the ONE compiled K-step program
+                    # serves every dispatch (padded rows are masked out)
+                    idx_chunk = np.concatenate(
+                        [idx_chunk,
+                         np.repeat(idx_chunk[-1:], steps_per_call - k, 0)], 0)
+                valid = np.arange(steps_per_call) < k
                 (model.decoder_params, model.encoder_params, model.encoder_bn,
                  dec_opt_state, enc_opt_state, mean_logs, last_logs,
                  rng) = steps_runner(
                     model.decoder_params, model.encoder_params,
                     model.encoder_bn, dec_opt_state, enc_opt_state,
-                    jnp.asarray(idx_all[s:s + k]), rng,
+                    jnp.asarray(idx_chunk), jnp.asarray(valid), rng,
                     epoch, lr_dec, lr_enc)
                 s += k
                 it += k

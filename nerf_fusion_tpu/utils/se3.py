@@ -4,8 +4,17 @@ Semantics-compatible with the reference pose library (SURVEY.md §2.6;
 reference: utils/motion_util.py): twists are ``xi = [rho, phi]`` with
 ``t = J_l(phi) @ rho`` in ``from_twist``/``log``, ``dot`` composes
 left-to-right, ``@`` transforms (N,3) point arrays, and ``to_gl_camera``
-post-multiplies a 180-degree rotation about X.  Implemented from standard
-Lie-group formulas (no pyquaternion dependency).
+post-multiplies a 180-degree rotation about X.
+
+Provenance: the Quaternion half of this file is an original numpy
+implementation (it replaces the reference's pyquaternion dependency) built
+from standard Lie-group formulas.  The ``Isometry`` API — its method set,
+structure, and several method bodies (``from_matrix``, ``from_twist``,
+``look_at``, ``continuous_repr``/``from_continuous_repr``, ``full_repr``,
+``project_orthogonal``) — is ported from the reference's
+``utils/motion_util.py:155-299``: downstream code (config ``first_tq``,
+TUM trajectory IO, GL-camera conversions) mandates identical semantics,
+so those bodies intentionally track the reference formula-for-formula.
 
 The device-side (jit-differentiable) counterparts live in
 ``nerf_fusion_tpu.utils.se3_jax``.
@@ -94,9 +103,11 @@ class Quaternion:
         return f"Quaternion({self.q})"
 
     @staticmethod
-    def random():
-        # Shoemake's uniform random rotation.
-        u1, u2, u3 = np.random.random(3)
+    def random(rng: np.random.RandomState = None):
+        # Shoemake's uniform random rotation.  Pass `rng` for determinism
+        # independent of the global numpy state (data generation must not
+        # depend on caller import/collection order).
+        u1, u2, u3 = (rng or np.random).random(3)
         return Quaternion(array=np.array([
             np.sqrt(1 - u1) * np.sin(2 * np.pi * u2),
             np.sqrt(1 - u1) * np.cos(2 * np.pi * u2),
@@ -273,8 +284,9 @@ class Isometry:
         return np.hstack([rho, phi])
 
     @staticmethod
-    def random() -> "Isometry":
-        return Isometry(q=Quaternion.random(), t=np.random.random(3))
+    def random(rng: np.random.RandomState = None) -> "Isometry":
+        return Isometry(q=Quaternion.random(rng),
+                        t=(rng or np.random).random(3))
 
     def inv(self) -> "Isometry":
         qinv = self.q.inverse

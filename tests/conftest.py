@@ -12,6 +12,11 @@ For fast genuinely-local runs invoke pytest as:
   PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu \
   XLA_FLAGS=--xla_force_host_platform_device_count=8 \
   JAX_COMPILATION_CACHE_DIR=/root/.jax_cache_cpu python -m pytest tests/ -q
+
+NOTE: an explicitly-set JAX_COMPILATION_CACHE_DIR is REWRITTEN below to
+`<dir>-<machine_tag>` (XLA:CPU AOT artifacts bake in host CPU features; a
+cache moved across hosts can SIGILL).  The effective directory is printed
+at collection time — inspect/clean THAT path, not the one you passed.
 """
 
 import hashlib
@@ -50,6 +55,10 @@ elif os.environ.get("JAX_PLATFORMS") == "cpu" \
     tag = _machine_tag()
     if not base.endswith(tag):
         os.environ["JAX_COMPILATION_CACHE_DIR"] = f"{base}-{tag}"
+        # make the redirection visible so recipes clean the right dir
+        print(f"[conftest] JAX_COMPILATION_CACHE_DIR rewritten to "
+              f"{os.environ['JAX_COMPILATION_CACHE_DIR']} (machine-keyed)",
+              file=sys.stderr)
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
