@@ -470,15 +470,17 @@ def select_photometric_pixels(cur_intensity, cur_depth, cur_dIdxy,
             jnp.real(g_pack), jnp.imag(g_pack), valid)
 
 
-def rgb_odometry_sparse(prev_packed, W: int, H: int, pix,
+def rgb_odometry_sparse(prev_rows, W: int, H: int, pix,
                         fx, fy, cx, cy, krkinv, kt,
                         max_depth_delta: float):
     """Photometric residual + Jacobian at a selected pixel set.
 
-    Same math as ``rgb_odometry`` on (k,) vectors with ONE k-element
+    Same math as ``rgb_odometry`` on (k,) vectors with ONE k-row
     gather from the packed previous frame.
 
-    :param prev_packed: (H*W,) complex64 = complex(prev_I, prev_D).
+    :param prev_rows: (H*W, 2) f32 = stack(prev_I, prev_D) rows — a
+        minor-dim-2 row gather lowers ~3.4x faster than the same data
+        packed as complex64 (tools/gather_exp2.py).
     :param pix: output of :func:`select_photometric_pixels`.
     :return: (f (k,), J (6,k), ok (k,)).
     """
@@ -491,9 +493,13 @@ def rgb_odometry_sparse(prev_packed, W: int, H: int, pix,
     inb = (u0 >= 0) & (u0 < W) & (v0 >= 0) & (v0 < H)
     u0c = jnp.clip(u0, 0, W - 1)
     v0c = jnp.clip(v0, 0, H - 1)
-    got = jnp.take(prev_packed, v0c * W + u0c, mode="clip")
-    i0 = jnp.real(got)
-    d0 = jnp.imag(got)
+    # stop XLA re-computing the warp inside every consumer fusion (see
+    # the identical barrier in rgb_odometry)
+    u0c, v0c, inb, wz = jax.lax.optimization_barrier((u0c, v0c, inb, wz))
+    got = jnp.take(prev_rows, v0c * W + u0c, axis=0, mode="clip")
+    i0 = got[:, 0]
+    d0 = got[:, 1]
+    i0, d0 = jax.lax.optimization_barrier((i0, d0))
     ok = valid & inb & jnp.isfinite(d0) & (d0 > 0.0) \
         & (jnp.abs(wz - d0) <= max_depth_delta)
     f = jnp.where(ok, i1 - i0, 0.0)
@@ -567,15 +573,23 @@ def rgb_odometry(prev_intensity, prev_depth, cur_intensity, cur_depth,
     inb = (u0 >= 0) & (u0 < W) & (v0 >= 0) & (v0 < H)
     u0c = jnp.clip(u0, 0, W - 1)
     v0c = jnp.clip(v0, 0, H - 1)
-    # 1-D linearised gather (TPU lowers flat dynamic gathers far better
-    # than 2-D advanced indexing).  Intensity+depth are packed into one
-    # complex64 so the random-access gather — the dominant cost of this
-    # kernel on TPU — runs once instead of twice.
+    # Materialise the warp ONCE: without the barrier XLA fuses the whole
+    # warp computation into EVERY consumer fusion (index computation, J
+    # planes, validity) and re-computes it up to ~6x — measured 11.4 ->
+    # 4.5 ms per dense 640x480 iteration from this barrier alone
+    # (tools/gather_exp2.py; numerically identical).
+    u0c, v0c, inb, wz = jax.lax.optimization_barrier((u0c, v0c, inb, wz))
+    # 1-D linearised ROW gather: a (N, 2) minor-dim-2 row gather moves
+    # intensity+depth in ONE sweep and lowers ~3.4x faster than the same
+    # data as a packed complex64 gather (1.30 vs 4.39 ms at 307k rows,
+    # tools/gather_exp2.py) and ~1.7x faster than a single f32 gather.
     lin = (v0c * W + u0c).reshape(-1)
-    packed = jax.lax.complex(prev_intensity, prev_depth).reshape(-1)
-    got = jnp.take(packed, lin, mode="clip").reshape(h, w)
-    i0 = jnp.real(got)
-    d0 = jnp.imag(got)
+    rows = jnp.stack([prev_intensity.reshape(-1),
+                      prev_depth.reshape(-1)], axis=-1)
+    got = jnp.take(rows, lin, axis=0, mode="clip")
+    i0 = got[:, 0].reshape(h, w)
+    d0 = got[:, 1].reshape(h, w)
+    i0, d0 = jax.lax.optimization_barrier((i0, d0))
     ok = ok & inb & jnp.isfinite(d0) & (d0 > 0.0) \
         & (jnp.abs(wz - d0) <= max_depth_delta)
 

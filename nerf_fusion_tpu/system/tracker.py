@@ -176,7 +176,7 @@ def _rgb_Hg(tcfg: TrackerConfig, level_data, fx, fy, cx, cy,
             dR, dt, rgb_weight, sparse=None):
     """Photometric term at one pyramid level.
 
-    ``sparse``: optional (prev_packed, W, H, pix) from the once-per-frame
+    ``sparse``: optional (prev_rows (H*W,2), W, H, pix) from the once-per-frame
     budgeted pixel selection; replaces the dense h*w warp gather with a
     k-element one."""
     K = jnp.asarray([[fx, 0.0, cx], [0.0, fy, cy], [0.0, 0.0, 1.0]])
@@ -185,9 +185,9 @@ def _rgb_Hg(tcfg: TrackerConfig, level_data, fx, fy, cx, cy,
     krkinv = K @ dR @ Kinv
     kt = K @ dt
     if sparse is not None:
-        prev_packed, W, H_, pix = sparse
+        prev_rows, W, H_, pix = sparse
         f, J, ok = imgproc.rgb_odometry_sparse(
-            prev_packed, W, H_, pix, fx, fy, cx, cy, krkinv, kt,
+            prev_rows, W, H_, pix, fx, fy, cx, cy, krkinv, kt,
             tcfg.max_depth_delta)
     else:
         prev_i, prev_d, cur_i, cur_d, cur_g = level_data
@@ -246,9 +246,9 @@ def track_gauss_newton(map_state, map_cfg, dec_params, dec_cfg, tcfg: TrackerCon
                 tcfg.rgb_pixel_budget, tcfg.min_grad_scale,
                 stride=tcfg.rgb_stride)
             Hl, Wl = cur_pyr.intensity[lev].shape
-            prev_packed = jax.lax.complex(
-                prev_pyr.intensity[lev], prev_pyr.depth[lev]).reshape(-1)
-            sparse_levels[lev] = (prev_packed, Wl, Hl, pix)
+            prev_rows = jnp.stack([prev_pyr.intensity[lev].reshape(-1),
+                                   prev_pyr.depth[lev].reshape(-1)], axis=-1)
+            sparse_levels[lev] = (prev_rows, Wl, Hl, pix)
 
     def group_scan(carry_in, group):
         n_iters, terms = group

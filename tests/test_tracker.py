@@ -157,8 +157,8 @@ def test_sparse_photometric_term_matches_dense_when_budget_covers():
     pix = imgproc.select_photometric_pixels(
         p1.pyramid.intensity[lev], p1.pyramid.depth[lev],
         p1.pyramid.gradient[lev], Hl * Wl, 0.0, stride=1)
-    prev_packed = jax.lax.complex(p0.pyramid.intensity[lev],
-                                  p0.pyramid.depth[lev]).reshape(-1)
+    prev_packed = jnp.stack([p0.pyramid.intensity[lev].reshape(-1),
+                             p0.pyramid.depth[lev].reshape(-1)], -1)
     Hs, gs, es = T._rgb_Hg(tcfg_dense, None, c.fx, c.fy, c.cx, c.cy,
                            eR, et, jnp.asarray(500.0),
                            sparse=(prev_packed, Wl, Hl, pix))
@@ -262,8 +262,8 @@ def test_rgb_linear_model_error_documents_no_lazy_relin():
         p1.pyramid.intensity[0], p1.pyramid.depth[0], p1.pyramid.gradient[0],
         4096, 0.0, stride=1)
     Hl, Wl = p1.pyramid.intensity[0].shape
-    prev_packed = jax.lax.complex(p0.pyramid.intensity[0],
-                                  p0.pyramid.depth[0]).reshape(-1)
+    prev_packed = jnp.stack([p0.pyramid.intensity[0].reshape(-1),
+                             p0.pyramid.depth[0].reshape(-1)], -1)
     sparse = (prev_packed, Wl, Hl, pix)
     level = (p0.pyramid.intensity[0], p0.pyramid.depth[0],
              p1.pyramid.intensity[0], p1.pyramid.depth[0],

@@ -5,7 +5,7 @@ Times the full staged schedule, then single-group variants (rgb-only per
 level, sdf-only) and sparse pixel-budget settings, using real lr-kt state
 after 42 warm frames.
 
-    python tools/gn_prof.py
+    python tools/gn_prof.py [config-name.yaml]   # default fusion-lr-kt-fast
 """
 
 import dataclasses
@@ -69,7 +69,8 @@ def main():
 
     repo = Path(__file__).resolve().parent.parent
     data = repo / "output" / "lrkt_data" / "lr-kt"
-    args = exp_util.parse_config_yaml(repo / "configs" / "fusion-lr-kt-fast.yaml")
+    cfg_name = sys.argv[1] if len(sys.argv) > 1 else "fusion-lr-kt-fast.yaml"
+    args = exp_util.parse_config_yaml(repo / "configs" / cfg_name)
     model, margs = load_model(repo / args.training_hypers, args.using_epoch)
     args.model = margs
     args.mapping = exp_util.dict_to_args(args.mapping)
