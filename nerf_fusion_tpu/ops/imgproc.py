@@ -457,17 +457,17 @@ def select_photometric_pixels(cur_intensity, cur_depth, cur_dIdxy,
     score = jnp.where(ok, grad2, -1.0).reshape(-1)
     kk = min(k, ((h - 1) // stride + 1) * ((w - 1) // stride + 1))
     # top_k's VALUES give the validity test for free, and the four
-    # per-pixel channels pack into two complex64 gathers (f32 pairs are
-    # held exactly) — 2 gathers instead of 5.
+    # per-pixel channels pack into ONE (N,4) row gather (minor-dim row
+    # gathers lower ~3.4x faster than packed complex64 gathers on TPU —
+    # tools/gather_exp2.py).
     vals, idx = jax.lax.top_k(score, kk)
     valid = vals >= 0.0
     u = (idx % w).astype(jnp.float32)
     v = (idx // w).astype(jnp.float32)
-    id_pack = jnp.take(jax.lax.complex(cur_intensity, cur_depth).reshape(-1),
-                       idx, mode="clip")
-    g_pack = jnp.take(jax.lax.complex(gx, gy).reshape(-1), idx, mode="clip")
-    return (u, v, jnp.real(id_pack), jnp.imag(id_pack),
-            jnp.real(g_pack), jnp.imag(g_pack), valid)
+    rows = jnp.stack([cur_intensity.reshape(-1), cur_depth.reshape(-1),
+                      gx.reshape(-1), gy.reshape(-1)], axis=-1)
+    got = jnp.take(rows, idx, axis=0, mode="clip")
+    return (u, v, got[:, 0], got[:, 1], got[:, 2], got[:, 3], valid)
 
 
 def rgb_odometry_sparse(prev_rows, W: int, H: int, pix,
