@@ -206,7 +206,12 @@ def run_lrkt():
     from nerf_fusion_tpu.utils.evaluate import ate_rmse
 
     tq = _ensure_lrkt_data()
-    pipe, args = _build(REPO / "configs" / "fusion-lr-kt-fast.yaml", first_tq=tq)
+    # BENCH_LRKT_CONFIG selects the workload config: the default headline
+    # is the documented fast variant; "fusion-lr-kt.yaml" runs the
+    # unmodified reference-faithful parity config through the identical
+    # protocol (VERDICT r3 missing #1 — recorded in PARITY.md).
+    cfg_name = os.environ.get("BENCH_LRKT_CONFIG", "fusion-lr-kt-fast.yaml")
+    pipe, args = _build(REPO / "configs" / cfg_name, first_tq=tq)
     seq = ICLNUIMSequence(path=str(LRKT_DATA), start_frame=0, end_frame=-1,
                           first_tq=tq, load_gt=True)
     n_total = min(len(seq), N_WARMUP + N_BENCH + 10)
@@ -282,9 +287,12 @@ def main():
     logging.basicConfig(level=logging.ERROR)
     cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR", "")
     # "" disables the cache (utils/cache.py); Path("") is "." which would
-    # read as a warm cache
+    # read as a warm cache.  "Warm" means the big per-frame program is
+    # cached (any stray entry counted as warm once and mislabeled a cold
+    # compile as a 277 s warm first frame).
     cache_warm = bool(cache_dir) and Path(cache_dir).exists() \
-        and any(Path(cache_dir).iterdir())
+        and any(p.name.startswith("jit_fused_frame_step")
+                for p in Path(cache_dir).iterdir())
 
     only = os.environ.get("BENCH_ONLY", "")
     lrkt = run_lrkt() if only in ("", "lrkt") else None

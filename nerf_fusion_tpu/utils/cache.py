@@ -30,16 +30,40 @@ def _machine_tag() -> str:
         return platform.machine()
 
 
-def enable_compile_cache(path: str | None = None) -> str:
-    """Set JAX_COMPILATION_CACHE_DIR if unset; returns the active dir.
+def _apply_to_jax_config(cache: str | None) -> None:
+    """Set the cache dir on the live jax config, not just the env.
 
-    Must run before jax initializes its backends (i.e. at entry-point
-    import time).  An empty-string env value disables the cache.  The
-    default dir is keyed by a machine fingerprint so a host change
-    invalidates the cache instead of loading foreign CPU AOT code.
+    On axon-tunnel hosts a sitecustomize imports jax at interpreter
+    start, which FREEZES every env-derived config default before any
+    entry point runs — `os.environ["JAX_COMPILATION_CACHE_DIR"] = ...`
+    set afterwards is silently dead and no cache entry is ever written
+    (root-caused round 4: the fingerprinted dir stayed empty across
+    bench runs while first_frame_s read 250-630 s).  config.update works
+    at any point before the first compile.
+    """
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", cache or None)
+    if cache:
+        jax.config.update(
+            "jax_persistent_cache_min_compile_time_secs",
+            float(os.environ.get(
+                "JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", 0.5)))
+
+
+def enable_compile_cache(path: str | None = None) -> str:
+    """Set the persistent compile-cache dir if unset; returns the active dir.
+
+    Must run before the first compile.  An empty-string env value
+    disables the cache.  The default dir is keyed by a machine
+    fingerprint so a host change invalidates the cache instead of
+    loading foreign CPU AOT code.  Sets both the env var (for child
+    processes) and the live jax config (the env var alone is dead when
+    jax was preloaded — see _apply_to_jax_config).
     """
     existing = os.environ.get("JAX_COMPILATION_CACHE_DIR")
     if existing is not None:
+        _apply_to_jax_config(existing)
         return existing
     cache = path or os.path.join(
         os.environ.get("XDG_CACHE_HOME", str(Path.home() / ".cache")),
@@ -54,4 +78,5 @@ def enable_compile_cache(path: str | None = None) -> str:
     # deserialize even quick compiles: the fused programs are many and the
     # default 1s floor skips some of them
     os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")
+    _apply_to_jax_config(cache)
     return cache

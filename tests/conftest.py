@@ -4,14 +4,13 @@ The driver separately compile-checks the TPU path; tests must be hermetic
 and hardware-independent, so we force the CPU backend with 8 virtual
 devices for sharding tests (see repo prompt / SURVEY.md §7).
 
-NOTE: on hosts with the axon TPU tunnel, a sitecustomize force-registers
-the TPU platform before this file runs and overrides JAX_PLATFORMS; tests
-still pass there (they are platform-agnostic) but run through the tunnel.
-For fast genuinely-local runs invoke pytest as:
-
-  PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu \
-  XLA_FLAGS=--xla_force_host_platform_device_count=8 \
-  JAX_COMPILATION_CACHE_DIR=/root/.jax_cache_cpu python -m pytest tests/ -q
+NOTE: on hosts with the axon TPU tunnel, a sitecustomize imports jax at
+interpreter start, FREEZING env-derived config defaults (JAX_PLATFORMS,
+JAX_COMPILATION_CACHE_DIR) before this file runs.  We therefore force the
+CPU backend and the cache dir through ``jax.config.update`` below, which
+works any time before backend/first-compile.  Set NERF_TESTS_PLATFORM to
+override (e.g. ``NERF_TESTS_PLATFORM=axon`` to run the suite through the
+tunnel on the real chip).
 
 NOTE: an explicitly-set JAX_COMPILATION_CACHE_DIR is REWRITTEN below to
 `<dir>-<machine_tag>` (XLA:CPU AOT artifacts bake in host CPU features; a
@@ -65,3 +64,16 @@ if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# jax may already be imported (axon sitecustomize preload) with config
+# defaults frozen from the pre-pytest environment — push the hermetic
+# test configuration onto the LIVE config.  XLA_FLAGS above still works
+# because it is read at backend initialization, which hasn't happened.
+_platform = os.environ.get("NERF_TESTS_PLATFORM", "cpu")
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", _platform)
+os.environ["JAX_PLATFORMS"] = _platform
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ["JAX_COMPILATION_CACHE_DIR"] or None)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
