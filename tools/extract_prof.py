@@ -13,7 +13,9 @@ import time
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
+from nerf_fusion_tpu.utils.cache import enable_compile_cache
+
+enable_compile_cache()
 
 import numpy as np
 

@@ -16,7 +16,9 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 import os  # noqa: E402
 
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
+from nerf_fusion_tpu.utils.cache import enable_compile_cache
+
+enable_compile_cache()
 
 import numpy as np  # noqa: E402
 
