@@ -304,15 +304,18 @@ class Mesher:
         atexit.register(lambda: (lambda m: m and m.join_async())(ref()))
 
     def _get_blend(self, r: int, device):
-        """Device-resident corner-blend operands for r > 4.
+        """Device-resident corner-blend operands (all r).
 
         The blend constants grow as r^6 (~322 MB at r=8); baking them into
         the jitted program oversizes its serialization (a tunnel compile
-        endpoint rejects it outright), so large-r programs take them as
-        runtime operands.  r <= 4 keeps the measured constant-folded path.
+        endpoint rejects it outright).  Round 4 unified ALL r on the
+        operand path: bench fps is unchanged at r=4 (125.0 vs 123.6
+        median, within window noise) and one code path serves every
+        resolution.  (Measured, for the record: the 7.1 MB of r=4 blend
+        constants compress to ~0.3 MB in the serialized executable, so
+        this does NOT shrink first-load.)  The constant-folded path
+        (blend=None) remains for direct callers.
         """
-        if r <= 4:
-            return None
         import jax
 
         from ..ops.marching_cubes import blend_operands
