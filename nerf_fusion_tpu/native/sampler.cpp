@@ -354,14 +354,43 @@ void knn_sign_vote(const double* queries, int64_t n,
     if (k > m) k = (int)m;
     Grid g = build_grid(surf_pts, surf_nrm, (int)m);
 
+    // Process queries in fine-cell order.  The surfel grid (~19 MB f64 at
+    // the 800k-samples/mesh volume) far exceeds L2, and the caller's query
+    // order is random (perturbed + uniform draws), so every query paid
+    // DRAM latency for its cell scans.  Sorting queries by their grid cell
+    // makes consecutive queries walk the SAME cells — the working set
+    // drops to one neighbourhood.  Bit-exact: each query's own scan order
+    // is a function of the query alone, only the outer loop order changes.
+    // (std::sort on 800k keys is ~2% of the win it buys.)
+    std::vector<int64_t> order(n);
+    {
+        std::vector<int> qcell(n);
+        for (int64_t i = 0; i < n; ++i) {
+            const double* q = queries + 3 * i;
+            int c[3];
+            for (int d = 0; d < 3; ++d)
+                c[d] = clampi((int)((q[d] - g.origin[d]) / g.cell), 0,
+                              g.dims[d] - 1);
+            qcell[i] = (c[0] * g.dims[1] + c[1]) * g.dims[2] + c[2];
+        }
+        for (int64_t i = 0; i < n; ++i) order[i] = i;
+        std::sort(order.begin(), order.end(),
+                  [&](int64_t a, int64_t b) { return qcell[a] < qcell[b]; });
+    }
+    std::vector<double> qsorted(3 * n);
+    for (int64_t i = 0; i < n; ++i)
+        for (int d = 0; d < 3; ++d)
+            qsorted[3 * i + d] = queries[3 * order[i] + d];
+
 #pragma omp parallel
     {
         KnnState st;
         st.k = k;
         st.found.reserve(k + 1);
 #pragma omp for schedule(dynamic, 256)
-        for (int64_t qi = 0; qi < n; ++qi) {
-            const double* q = queries + 3 * qi;
+        for (int64_t si = 0; si < n; ++si) {
+            const int64_t qi = order[si];
+            const double* q = qsorted.data() + 3 * si;
             st.reset();
             // near-surface fast path on the fine grid; exact nested
             // coarse fallback for queries whose neighbors sit further out
