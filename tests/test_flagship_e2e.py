@@ -47,6 +47,12 @@ def flagship_workdir(tmp_path_factory):
 @pytest.mark.slow
 def test_flagship_demo_contract(flagship_workdir):
     env = dict(os.environ)
+    # Hermetic CPU child: the axon sitecustomize force-registers the
+    # tunneled TPU and overrides JAX_PLATFORMS, so tunnel contention or
+    # unavailability would fail this test; emptying the pool IPs is the
+    # reliable off-switch (same as test_distributed.py).
+    env.update(PALLAS_AXON_POOL_IPS="", JAX_PLATFORMS="cpu")
+    env.pop("JAX_PLATFORM_NAME", None)
     out = flagship_workdir / "out"
     proc = subprocess.run(
         [sys.executable, str(REPO / "main.py"), "configs/fusion-lr-kt.yaml",

@@ -16,6 +16,10 @@ REPO = Path(__file__).resolve().parent.parent
 def _run(args, cwd=REPO):
     # cwd=REPO: the config's training_hypers path is repo-relative
     env = dict(os.environ)
+    # hermetic CPU child (see test_flagship_e2e.py: the axon sitecustomize
+    # would otherwise route this through the shared TPU tunnel)
+    env.update(PALLAS_AXON_POOL_IPS="", JAX_PLATFORMS="cpu")
+    env.pop("JAX_PLATFORM_NAME", None)
     proc = subprocess.run(
         [sys.executable, str(REPO / "main.py"),
          str(REPO / "configs" / "fusion-synth.yaml"),
