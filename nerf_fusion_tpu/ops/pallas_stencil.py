@@ -204,8 +204,8 @@ def _padded_call(pts, valid, radius, count_only, interpret):
         out_shape=jax.ShapeDtypeStruct((n_planes, Hp, W), jnp.float32),
         grid=(Hp // TILE_H,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),   # full array, manual DMA
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),   # full array, manual DMA
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec((n_planes, TILE_H, W), lambda i: (0, i, 0),
                                memory_space=pltpu.VMEM),
