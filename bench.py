@@ -134,12 +134,27 @@ def _build(config_path, first_tq=None):
     # throughput number; OFF matches the reference's shipped behaviour.
     if int(os.environ.get("BENCH_OPTIMIZE", "0")):
         args.do_optimize = True
+    # BENCH_FPC=K: scan K tracking-only frames per device dispatch
+    # (pipeline frames_per_call); K=19 fills the 20-frame cadence exactly.
+    # Pair with BENCH_WARMUP at a multiple of 20 so window brackets land on
+    # cadence frames (empty buffer, fully-blocked windows).
+    fpc = int(os.environ.get("BENCH_FPC", "0"))
+    if fpc:
+        args.frames_per_call = fpc
     tq = first_tq if first_tq is not None else (
         args.sequence_kwargs.get("first_tq")
         if hasattr(args, "sequence_kwargs") else None)
     if tq is not None:
         args.first_iso = Isometry(q=Quaternion(array=tq[3:]), t=tq[:3])
     return FusionPipeline(model, args), args
+
+
+def _drop_max(drops):
+    """Max box-filter drop over () scalar and (K,) block entries."""
+    import numpy as np
+    if not drops:
+        return 0.0
+    return float(max(float(np.atleast_1d(d).max()) for d in drops))
 
 
 def _mesh_abs_sdf_error(mesher):
@@ -179,7 +194,8 @@ def _timed_windows(pipe, frames, start: int, n: int):
         for _ in range(w):
             pipe.process_frame(frames[i], i)
             i += 1
-        _sync_all(pipe)
+        pipe.flush_frames()      # frames_per_call: no buffered work may
+        _sync_all(pipe)          # leak across a window bracket
         fps_w.append(w / (time.perf_counter() - t0))
     med = float(np.median(fps_w))
     return med, [round(f, 2) for f in fps_w], n_windows * w
@@ -232,6 +248,7 @@ def run_lrkt():
 
     for i in range(1, n_warm):
         pipe.process_frame(frames[i], i)
+    pipe.flush_frames()
     pipe.trajectory()                      # sync: empty the device queue
 
     _sync_all(pipe)
@@ -240,6 +257,7 @@ def run_lrkt():
 
     for i in range(n_warm + n_timed, n_total):
         pipe.process_frame(frames[i], i)
+    pipe.flush_frames()
     pipe.mesher.extract(args.resolution,
                         max_std=getattr(args, "max_std", 0.15))
     traj = pipe.trajectory()
@@ -249,7 +267,7 @@ def run_lrkt():
     drops = jax.device_get(pipe.tracker.drop_fracs)
     return {"fps": fps, "fps_windows": fps_windows, "ate": float(ate),
             "mesh_err": mesh_err,
-            "drop_max": float(max(drops)) if drops else 0.0,
+            "drop_max": _drop_max(drops),
             "first_frame_s": first_frame_s, "n_frames": n_total}
 
 
@@ -268,10 +286,12 @@ def run_synth():
     frames = [next(seq) for _ in range(n)]
     for i in range(N_WARMUP):
         pipe.process_frame(frames[i], i)
+    pipe.flush_frames()
     _sync_all(pipe)
     fps, _, n_timed = _timed_windows(pipe, frames, N_WARMUP, N_BENCH)
     for i in range(N_WARMUP + n_timed, n):
         pipe.process_frame(frames[i], i)
+    pipe.flush_frames()
     pipe.mesher.extract(args.resolution,
                         max_std=getattr(args, "max_std", 0.15))
     traj = pipe.trajectory()
@@ -280,7 +300,7 @@ def run_synth():
     mesh_err = _mesh_abs_sdf_error(pipe.mesher)
     drops = jax.device_get(pipe.tracker.drop_fracs)
     return {"fps": fps, "ate": float(ate), "mesh_err": mesh_err,
-            "drop_max": float(max(drops)) if drops else 0.0}
+            "drop_max": _drop_max(drops)}
 
 
 def main():

@@ -61,10 +61,63 @@ class FusionPipeline:
         # per-call stage prints for perf forensics (tunnel walls vary 10x,
         # so aggregate means hide which CALL was slow)
         self.verbose_timing = bool(getattr(args, "verbose_timing", False))
+        # Tracking-only frames per device dispatch (1 = one program per
+        # frame).  K>1 buffers non-keyframe frames and scans them through
+        # ONE fused_frame_block program — the dispatch/H2D amortization for
+        # thin-link hosts; cadence (integrate/mesh) frames always flush the
+        # buffer first and run per-frame.  With the 20-frame default
+        # cadence, K=19 makes every block full-sized (no extra programs).
+        self.frames_per_call = int(getattr(args, "frames_per_call", 1))
+        self._frame_buf = []
+
+    def flush_frames(self):
+        """Track any buffered frames (``frames_per_call`` > 1) now.
+
+        Full K-sized buffers go through ONE ``fused_frame_block`` dispatch;
+        a partial buffer (tail of a run, or a cadence arriving early) falls
+        back to the already-compiled per-frame program rather than
+        compiling a second block shape."""
+        buf, self._frame_buf = self._frame_buf, []
+        if not buf:
+            return
+        import jax.numpy as jnp
+
+        depth_cut = (self.args.depth_cut_min, self.args.depth_cut_max)
+        self.timer.start("track")
+        if len(buf) == self.frames_per_call:
+            def stack(arrs):
+                if isinstance(arrs[0], np.ndarray):
+                    return jnp.asarray(np.stack(arrs))
+                return jnp.stack(arrs)
+
+            pose = self.tracker.track_camera_block(
+                stack([f.rgb for f in buf]), stack([f.depth for f in buf]),
+                buf[0].calib, depth_cut=depth_cut)
+            self.poses.append(pose)
+        else:
+            for f in buf:
+                pose = self.tracker.track_camera(f.rgb, f.depth, f.calib,
+                                                 depth_cut=depth_cut)
+                self.poses.append(pose)
+        self.timer.stop("track")
 
     def process_frame(self, frame, frame_id: int, use_gt_pose: bool = False):
         """One frame through the pipeline. Sync-free: the returned pose is a
-        device (R, t) tuple; use ``trajectory()`` to materialise poses."""
+        device (R, t) tuple; use ``trajectory()`` to materialise poses.
+
+        With ``frames_per_call`` > 1, tracking-only frames are buffered and
+        returned as None; they dispatch in one scanned program when the
+        buffer fills or the next integrate/mesh cadence frame arrives
+        (``flush_frames``)."""
+        is_cadence = (frame_id % self.args.integrate_interval == 0
+                      or frame_id % self.args.meshing_interval == 0)
+        needs_set_pose = frame_id == 0 or use_gt_pose
+        if self.frames_per_call > 1 and not is_cadence and not needs_set_pose:
+            self._frame_buf.append(frame)
+            if len(self._frame_buf) == self.frames_per_call:
+                self.flush_frames()
+            return None
+        self.flush_frames()
         depth_cut = (self.args.depth_cut_min, self.args.depth_cut_max)
         set_pose = None
         if frame_id == 0:
@@ -141,6 +194,7 @@ class FusionPipeline:
             if vis_on and i % vis_interval == 0 and i > 0:
                 with self.timer.scope("vis_preview"):
                     self.write_preview(Path(output_dir) / "preview", i)
+        self.flush_frames()
         # final full-quality mesh (separate stage: it materialises + drains
         # deferred batches, so lumping it into the cadence "mesh" stat hides
         # where the time goes)
@@ -151,7 +205,10 @@ class FusionPipeline:
         results = {"n_frames": n, "timing": self.timer.summary()}
         if self.tracker.drop_fracs:
             import jax
-            drops = np.asarray(jax.device_get(self.tracker.drop_fracs))
+            # entries are () scalars (per-frame path) or (K,) vectors
+            # (block path) — flatten to one per-frame array
+            drops = np.concatenate([np.atleast_1d(d) for d in
+                                    jax.device_get(self.tracker.drop_fracs)])
             results["box_filter_drop_frac"] = {
                 "mean": float(drops.mean()), "max": float(drops.max())}
             if drops.max() > 0.05:

@@ -38,7 +38,7 @@ from ..utils import se3_jax as sj
 from ..utils.config import dict_to_args
 from ..utils.se3 import Isometry
 from ..ops import imgproc
-from .frontend import preprocess_frame
+from .frontend import Preprocessed, preprocess_frame
 from .map import get_sdf
 
 _HI = jax.lax.Precision.HIGHEST
@@ -330,24 +330,17 @@ def _append_pose(log, count, R, t):
     return log.at[count].set(entry), count + 1
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("map_cfg", "dec_cfg", "tcfg", "point_budget",
-                     "gn_point_budget"),
-    donate_argnames=("pose_log",))
-def fused_frame_step(map_state, map_cfg, dec_params, dec_cfg,
-                     tcfg: TrackerConfig, prev_pyr, rgb, depth,
-                     fx, fy, cx, cy, depth_cut_min, depth_cut_max,
-                     point_budget: int, gn_point_budget: int,
-                     last_R, last_t, rgb_weight, n_unstable,
-                     pose_log, pose_count, depth_scale=1.0):
-    """ONE device program per tracked frame: preprocessing (pyramids,
-    unproject, outlier mask, normals, box filter), the staged GN schedule,
-    the divergence state machine, pose composition, and the in-place pose
-    log append.  Collapsing the three separate dispatches (preprocess /
-    track / append) into one program removes two host->device enqueues per
-    frame and lets XLA overlap the pyramid build with the point path
-    (VERDICT round-1 item: sync-mode dispatch collapse).
+def _frame_step(map_state, map_cfg, dec_params, dec_cfg,
+                tcfg: TrackerConfig, prev_pyr, rgb, depth,
+                fx, fy, cx, cy, depth_cut_min, depth_cut_max,
+                point_budget: int, gn_point_budget: int,
+                last_R, last_t, rgb_weight, n_unstable,
+                pose_log, pose_count, depth_scale=1.0):
+    """One tracked frame: preprocessing (pyramids, unproject, outlier mask,
+    normals, box filter), the staged GN schedule, the divergence state
+    machine, pose composition, and the in-place pose log append.  Plain
+    traceable function — jitted per-frame as ``fused_frame_step`` and
+    scanned K-at-a-time by ``fused_frame_block``.
     """
     pre = preprocess_frame(rgb, depth, fx, fy, cx, cy,
                            depth_cut_min, depth_cut_max, point_budget,
@@ -367,6 +360,65 @@ def fused_frame_step(map_state, map_cfg, dec_params, dec_cfg,
     pose_log = pose_log.at[pose_count].set(entry)
     return (pre, pose_R, pose_t, rgb_weight, n_unstable, iters,
             pose_log, pose_count + 1)
+
+
+# ONE device program per tracked frame.  Collapsing the three separate
+# dispatches (preprocess / track / append) into one program removes two
+# host->device enqueues per frame and lets XLA overlap the pyramid build
+# with the point path (VERDICT round-1 item: sync-mode dispatch collapse).
+fused_frame_step = functools.partial(
+    jax.jit,
+    static_argnames=("map_cfg", "dec_cfg", "tcfg", "point_budget",
+                     "gn_point_budget"),
+    donate_argnames=("pose_log",))(_frame_step)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("map_cfg", "dec_cfg", "tcfg", "point_budget",
+                     "gn_point_budget"),
+    donate_argnames=("pose_log",))
+def fused_frame_block(map_state, map_cfg, dec_params, dec_cfg,
+                      tcfg: TrackerConfig, init_pre, rgb_k, depth_k,
+                      fx, fy, cx, cy, depth_cut_min, depth_cut_max,
+                      point_budget: int, gn_point_budget: int,
+                      last_R, last_t, rgb_weight, n_unstable,
+                      pose_log, pose_count, depth_scale=1.0):
+    """K tracked frames in ONE device program (``frames_per_call``).
+
+    ``lax.scan`` of ``_frame_step`` over stacked (K, H, W[, 3]) frames: one
+    dispatch and one H2D batch per K frames instead of K of each.  Device
+    time per frame is identical to the per-frame program; what it removes
+    is the per-dispatch host/tunnel cost, which is why it is a config
+    opt-in for thin-link (tunneled/remote) hosts.  ``init_pre`` is the
+    previous frame's ``Preprocessed`` (its pyramid seeds the photometric
+    term; the point fields make the carry uniform).  Map state is
+    loop-invariant: tracking between integration cadences reads a frozen
+    map, exactly like the per-frame path.
+
+    Returns the LAST frame's ``pre`` and pose plus stacked per-frame
+    ``iters`` (K, G) and ``drop_frac`` (K,).
+    """
+
+    def body(carry, xs):
+        pre, last_R, last_t, rgb_weight, n_unstable, pose_log, pose_count = carry
+        rgb, depth = xs
+        (pre2, pose_R, pose_t, rgb_weight, n_unstable, iters,
+         pose_log, pose_count) = _frame_step(
+            map_state, map_cfg, dec_params, dec_cfg, tcfg, pre.pyramid,
+            rgb, depth, fx, fy, cx, cy, depth_cut_min, depth_cut_max,
+            point_budget, gn_point_budget, last_R, last_t, rgb_weight,
+            n_unstable, pose_log, pose_count, depth_scale)
+        carry2 = (pre2, pose_R, pose_t, rgb_weight, n_unstable,
+                  pose_log, pose_count)
+        return carry2, (pre2.drop_frac, iters)
+
+    carry0 = (init_pre, last_R, last_t, rgb_weight, n_unstable,
+              pose_log, pose_count)
+    carry, (drops, iters) = jax.lax.scan(body, carry0, (rgb_k, depth_k))
+    pre, pose_R, pose_t, rgb_weight, n_unstable, pose_log, pose_count = carry
+    return (pre, pose_R, pose_t, rgb_weight, n_unstable, iters, drops,
+            pose_log, pose_count)
 
 
 @functools.partial(jax.jit, static_argnames=("map_cfg", "dec_cfg", "tcfg"))
@@ -479,6 +531,10 @@ class SDFTracker:
         # before the full cloud size.
         self.gn_point_budget = min(gn_point_budget or 8192, point_budget)
         self.all_pd_pose = []          # device (R, t) tuples
+        # frames tracked so far (= valid pose_log rows).  all_pd_pose gets
+        # ONE entry per track_camera/track_camera_block CALL (the last pose,
+        # for chaining), so its length undercounts in block mode.
+        self.n_tracked = 0
         # Device-side pose log: one preallocated (cap, 3, 4) buffer appended
         # in place per frame so pose_history costs ONE transfer (fetching N
         # separately-computed small arrays costs a tunnel roundtrip each).
@@ -541,11 +597,49 @@ class SDFTracker:
         self.last_colored_pcd = (pre.points, pre.colors, pre.mask)
         self.prev_pyr = pre.pyramid
         self.all_pd_pose.append(pose)
+        self.n_tracked += 1
+        return pose
+
+    def track_camera_block(self, rgb_k, depth_k, calib, depth_cut=(0.5, 5.0)):
+        """Track K frames in ONE device dispatch (``fused_frame_block``).
+
+        ``rgb_k``/``depth_k`` are stacked (K, H, W[, 3]) device arrays of
+        consecutive frames sharing ``calib``.  All K poses land in the
+        device pose log; the returned pose (and the retained processed
+        cloud / pyramid) is the LAST frame's, so callers must not integrate
+        a keyframe mid-block — the pipeline only blocks up tracking-only
+        frames between cadences."""
+        assert self.all_pd_pose and self.prev_pyr is not None, \
+            "block tracking needs a tracked/set first frame"
+        last_R, last_t = self.all_pd_pose[-1]
+        pts, nrm, mask = self.last_processed_pc
+        colors = self.last_colored_pcd[1]
+        init_pre = Preprocessed(self.prev_pyr, pts, nrm, colors, mask,
+                                jnp.asarray(0.0, jnp.float32))
+        (pre, pose_R, pose_t, self.rgb_weight, self.n_unstable,
+         self.last_iters, drops, self._pose_log, self._pose_count) = \
+            fused_frame_block(
+                self.map.state, self.map.cfg,
+                self.map.model.decoder_params, self.map.model.decoder_config,
+                self.tcfg, init_pre, rgb_k, depth_k,
+                calib.fx, calib.fy, calib.cx, calib.cy,
+                depth_cut[0], depth_cut[1],
+                self.point_budget, self.gn_point_budget,
+                last_R, last_t, self.rgb_weight, self.n_unstable,
+                self._pose_log, self._pose_count,
+                depth_scale=float(getattr(calib, "dscale", 1.0)))
+        pose = (pose_R, pose_t)
+        self.last_processed_pc = (pre.points, pre.normals, pre.mask)
+        self.drop_fracs.append(drops)          # (K,) device vector
+        self.last_colored_pcd = (pre.points, pre.colors, pre.mask)
+        self.prev_pyr = pre.pyramid
+        self.all_pd_pose.append(pose)
+        self.n_tracked += int(rgb_k.shape[0])
         return pose
 
     def pose_history(self):
         """Materialise the device pose chain as host Isometries (ONE D2H)."""
-        n = len(self.all_pd_pose)
+        n = self.n_tracked
         if n == 0:
             return []
         log = np.asarray(self._pose_log[:((n + 255) // 256) * 256])[:n]
