@@ -242,6 +242,10 @@ def train(args, max_steps_per_epoch: int = None, mesh=None, seed: int = 0,
         (params + optimizer states + epoch counter) — a capability the
         reference lacks (start_epoch hardcoded, SURVEY.md §5.4).
     """
+    if max_steps_per_epoch is None:
+        # also reachable from the CLI/config (--exec "max_steps_per_epoch=N")
+        # for capped smoke runs on giant LIF sets
+        max_steps_per_epoch = getattr(args, "max_steps_per_epoch", None)
     checkpoints = list(range(args.snapshot_frequency, args.num_epochs + 1,
                              args.snapshot_frequency))
     checkpoints += list(args.additional_snapshots)
