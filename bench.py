@@ -310,8 +310,10 @@ def main():
     # read as a warm cache.  "Warm" means the big per-frame program is
     # cached (any stray entry counted as warm once and mislabeled a cold
     # compile as a 277 s warm first frame).
+    # the per-frame tracked program traces as `_frame_step` (fused_frame_step
+    # is a functools.partial over it, so the jit name is `jit__frame_step`)
     cache_warm = bool(cache_dir) and Path(cache_dir).exists() \
-        and any(p.name.startswith("jit_fused_frame_step")
+        and any(p.name.startswith(("jit__frame_step", "jit_fused_frame_step"))
                 for p in Path(cache_dir).iterdir())
 
     only = os.environ.get("BENCH_ONLY", "")

@@ -114,9 +114,13 @@ def generate_samples(idx: int, args, provider, output_base: Path, source_list):
         np.savez(output_base / "payload" / ("%08d.npz" % lid), **lif)
     # Incremental index checkpoint: a killed/crashed run keeps a usable
     # dataset (the reference only writes source.json at the very end).
+    # Throttled to every 25th mesh: serializing the Manager list is
+    # O(total LIFs) per dump, which at volume scale (~500k LIFs over 600
+    # meshes) would otherwise dominate the tail of the run.
     with _counter.get_lock():
-        with (output_base / "source.json").open("w") as f:
-            json.dump(list(source_list), f)
+        if mesh_idx % 25 == 0:
+            with (output_base / "source.json").open("w") as f:
+                json.dump(list(source_list), f)
     provider.clean(idx)
 
 
