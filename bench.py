@@ -69,9 +69,59 @@ FPS_FLOOR_LRKT = float(os.environ.get("BENCH_FPS_FLOOR_LRKT", 8.0))
 FPS_FLOOR_SYNTH = float(os.environ.get("BENCH_FPS_FLOOR_SYNTH", 20.0))
 # warm-cache time to the first tracked frame (compile-cache deserialization
 # + first execution).  VERDICT r3 weak #2: this regressed 61.5 -> 216.8 s
-# between rounds with nothing gating it.  Gate at ~2x the round-4 measured
-# value so program-count/size growth can't silently drift again.
-FIRST_FRAME_GATE_S = float(os.environ.get("BENCH_FIRST_FRAME_GATE", 150.0))
+# between rounds with nothing gating it.  Round-4 measurement: wall time is
+# NOT a usable regression signal here — the same warm-cache code read 47.6,
+# 111, 280 and 418 s within hours (compile-log timelines show all host-side
+# cache work done in ~30 s; the rest is device-side program load through
+# the tunnel, which varies ~10x with external load and makes warm-under-load
+# slower than cold-on-quiet).  The structural gate below (big-program cache
+# MISS count on a warm cache) is the real drift detector; the wall gate
+# stays as a generous catch-all only.
+FIRST_FRAME_GATE_S = float(os.environ.get("BENCH_FIRST_FRAME_GATE", 900.0))
+
+# The programs whose recompilation IS a first-frame regression: if the
+# cache is warm, none of these may miss.  Only default-path programs —
+# opt-ins (fused_frame_block under BENCH_FPC, refine_latents under
+# BENCH_OPTIMIZE) legitimately miss on their first opt-in run.  (Tiny
+# sub-second jits churn with jax internals and are excluded; they cost
+# ~0.5 s each, bounded by count.)
+BIG_PROGRAMS = ("_frame_step", "integrate_keyframe",
+                "fused_extract", "preprocess_frame")
+
+
+class _MissCounter(logging.Filter):
+    """Counts persistent-cache misses of the big per-frame programs.
+
+    jax logs every persistent-cache decision on jax._src.compiler at DEBUG
+    ("PERSISTENT COMPILATION CACHE MISS for 'jit_<name>' ...").  Counting
+    misses of the named big programs gives a tunnel-independent warm-cache
+    regression signal — wall time cannot (see FIRST_FRAME_GATE_S note).
+    """
+
+    def __init__(self):
+        super().__init__()
+        self.misses = []
+
+    def filter(self, record):
+        msg = record.getMessage()
+        if "CACHE MISS" in msg:
+            for name in BIG_PROGRAMS:
+                if f"'jit_{name}'" in msg:
+                    self.misses.append(name)
+                    break
+        return True     # observe only; never swallow the record
+
+
+def _install_miss_counter() -> _MissCounter:
+    counter = _MissCounter()
+    logger = logging.getLogger("jax._src.compiler")
+    logger.setLevel(logging.DEBUG)
+    logger.addFilter(counter)
+    # keep the DEBUG records out of bench output: filters run in handle()
+    # even with propagation off and only a NullHandler attached
+    logger.propagate = False
+    logger.addHandler(logging.NullHandler())
+    return counter
 
 
 # The export is 170 frames at the SAME per-frame camera motion as the
@@ -316,6 +366,7 @@ def main():
         and any(p.name.startswith(("jit__frame_step", "jit_fused_frame_step"))
                 for p in Path(cache_dir).iterdir())
 
+    misses = _install_miss_counter()
     only = os.environ.get("BENCH_ONLY", "")
     lrkt = run_lrkt() if only in ("", "lrkt") else None
     synth = run_synth() if only in ("", "synth") else None
@@ -337,6 +388,8 @@ def main():
         out["fps_windows"] = lrkt["fps_windows"]
         out["fps_best"] = round(max(lrkt["fps_windows"]), 2)
         out["fps_worst"] = round(min(lrkt["fps_windows"]), 2)
+    if cache_warm:
+        out["big_program_cache_misses"] = sorted(set(misses.misses))
     if synth and lrkt:
         out["synth_fps"] = round(synth["fps"], 3)
         out["synth_ate_rmse_m"] = round(synth["ate"], 5)
@@ -358,6 +411,13 @@ def main():
                   f"{lrkt['first_frame_s']:.1f} > gate "
                   f"{FIRST_FRAME_GATE_S}", file=sys.stderr)
             rc = 5
+    if cache_warm and misses.misses:
+        # the structural first-frame gate: a warm cache must serve every
+        # big program; a miss means the program set or its cache keys
+        # drifted (the true round-3 regression), independent of tunnel load
+        print(f"FAIL: warm cache missed big programs: "
+              f"{sorted(set(misses.misses))}", file=sys.stderr)
+        rc = 5
     if synth:
         checks += [("synth ate", synth["ate"], ATE_GATE),
                    ("synth mesh_err", synth["mesh_err"], MESH_ERR_GATE),

@@ -48,7 +48,7 @@ def _apply_to_jax_config(cache: str | None) -> None:
         jax.config.update(
             "jax_persistent_cache_min_compile_time_secs",
             float(os.environ.get(
-                "JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", 0.5)))
+                "JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", 0.0)))
 
 
 def enable_compile_cache(path: str | None = None) -> str:
@@ -75,8 +75,9 @@ def enable_compile_cache(path: str | None = None) -> str:
         # failing at entry-point import time
         return ""
     os.environ["JAX_COMPILATION_CACHE_DIR"] = cache
-    # deserialize even quick compiles: the fused programs are many and the
-    # default 1s floor skips some of them
-    os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")
+    # cache even sub-second compiles: ~38 tiny helper jits sit under the
+    # old 0.5 s floor and re-compile every process at ~0.5 s each through
+    # the tunnel (measured round 4: ~19 s of a warm first frame)
+    os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.0")
     _apply_to_jax_config(cache)
     return cache
