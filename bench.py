@@ -77,7 +77,10 @@ FPS_FLOOR_SYNTH = float(os.environ.get("BENCH_FPS_FLOOR_SYNTH", 20.0))
 # slower than cold-on-quiet).  The structural gate below (big-program cache
 # MISS count on a warm cache) is the real drift detector; the wall gate
 # stays as a generous catch-all only.
-FIRST_FRAME_GATE_S = float(os.environ.get("BENCH_FIRST_FRAME_GATE", 900.0))
+# (Observed worst warm-cache wall: 907 s while the tunnel served ~16 MB
+# serialized executables at ~dial-up rates; the structural gate stayed
+# green through it.)
+FIRST_FRAME_GATE_S = float(os.environ.get("BENCH_FIRST_FRAME_GATE", 1800.0))
 
 # The programs whose recompilation IS a first-frame regression: if the
 # cache is warm, none of these may miss.  Only default-path programs —

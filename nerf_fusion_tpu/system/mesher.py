@@ -139,6 +139,16 @@ def fused_extract(state, updated_mask, cfg, dec_params, dec_cfg,
     slot_c = jnp.clip(slots, 0, C - 1)
     keep = uniq_valid & (slots >= 0) & \
         (state.obs_count[slot_c] > cfg.ignore_count_th)
+    # Front-compact the kept rows (stable, so relative order is preserved)
+    # so the decode scan below can SKIP trailing all-padding chunks: the
+    # steady-state lr-kt batch keeps ~2k of the 4096 budget, i.e. half the
+    # decode chunks were spent on zero latents.  batch_map / mesh_ids /
+    # keep / cube grids all carry the same permutation, so MC's slot->row
+    # lookups and the host bookkeeping are unchanged.
+    perm = jnp.argsort(jnp.logical_not(keep), stable=True)
+    uniq = uniq[perm]
+    keep = keep[perm]
+    slot_c = slot_c[perm]
     batch_map = jnp.full((C,), -1, jnp.int32).at[
         jnp.where(keep, slot_c, C)].set(
         jnp.arange(mesh_budget, dtype=jnp.int32), mode="drop")
@@ -171,8 +181,20 @@ def fused_extract(state, updated_mask, cfg, dec_params, dec_cfg,
 
     def chunk_body(_, inp):
         lat_c, val_c = inp
-        csdf, cstd = _decode_cubes(dec_params, dec_cfg, lat_c, val_c,
-                                   r, fast, reeval_budget, precision)
+
+        def decode(_):
+            return _decode_cubes(dec_params, dec_cfg, lat_c, val_c,
+                                 r, fast, reeval_budget, precision)
+
+        def skip(_):
+            # all-padding chunk (possible after the front-compaction
+            # above): inert fill — positive SDF (no crossings) and huge
+            # std (max_std-pruned) — on top of the keep-mask exclusion
+            shape = (MESH_CHUNK, 2 * r, 2 * r, 2 * r)
+            return (jnp.full(shape, 1.0, jnp.float32),
+                    jnp.full(shape, 1e6, jnp.float32))
+
+        csdf, cstd = jax.lax.cond(jnp.any(val_c), decode, skip, 0)
         return 0, (csdf, cstd)
 
     _, (sdf_ch, std_ch) = jax.lax.scan(
