@@ -411,9 +411,24 @@ class SparseVoxelMap:
         if return_blocks:
             out["blocks"] = self.get_fast_preview_visuals()
         if return_mesh:
+            # Debug read must not consume the live mesher's bookkeeping:
+            # the no_cache extraction below drains/clears the updated-voxel
+            # accumulators, so snapshot them and merge back after (a plain
+            # restore could lose a concurrent integrate's update; |= only
+            # ever re-meshes extra).
             mesher = Mesher(self)
-            self.updated_slots[:] = True
-            out["mesh"] = [mesher.extract(voxel_resolution, no_cache=True)]
+            with self._upd_lock:
+                saved_slots = self.updated_slots.copy()
+                saved_dev = self._updated_dev
+            try:
+                out["mesh"] = [mesher.extract(voxel_resolution, no_cache=True)]
+            finally:
+                with self._upd_lock:
+                    self.updated_slots |= saved_slots
+                    if saved_dev is not None:
+                        self._updated_dev = (
+                            saved_dev if self._updated_dev is None
+                            else self._updated_dev | saved_dev)
         if return_samples or return_uncertainty:
             st = self.state
             occ = np.asarray(st.positions) >= 0

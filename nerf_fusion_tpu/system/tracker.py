@@ -538,9 +538,16 @@ class SDFTracker:
         # Device-side pose log: one preallocated (cap, 3, 4) buffer appended
         # in place per frame so pose_history costs ONE transfer (fetching N
         # separately-computed small arrays costs a tunnel roundtrip each).
+        # When the buffer fills, it spills to a host archive and restarts at
+        # row 0 (same shape, so no recompile): unbounded sequence length at
+        # one D2H per `pose_log_capacity` frames.  (The scatter at `count`
+        # would otherwise silently clamp into the last row past capacity,
+        # corrupting the trajectory tail.)
         self.pose_log_capacity = 16384
         self._pose_log = jnp.zeros((self.pose_log_capacity, 3, 4), jnp.float32)
         self._pose_count = jnp.asarray(0, jnp.int32)
+        self._pose_archive = []        # host (k, 3, 4) spilled segments
+        self._n_archived = 0
         self.prev_pyr = None
         self.last_processed_pc = None  # device (points, normals, mask)
         self.last_colored_pcd = None   # device (points, rgb, mask)
@@ -562,10 +569,22 @@ class SDFTracker:
                                 box_filter_size=t.box_filter_size,
                                 box_filter_exact=t.box_filter_exact)
 
+    def _spill_pose_log(self, needed: int):
+        """Flush the device pose log to the host archive if the next
+        ``needed`` appends would overflow capacity (one D2H per
+        ``pose_log_capacity`` frames — negligible amortised)."""
+        live = self.n_tracked - self._n_archived
+        if live + needed <= self.pose_log_capacity:
+            return
+        self._pose_archive.append(np.asarray(self._pose_log[:live]))
+        self._n_archived += live
+        self._pose_count = jnp.asarray(0, jnp.int32)
+
     def track_camera(self, rgb, depth, calib, set_pose: Isometry = None,
                      depth_cut=(0.5, 5.0)):
         """Returns the device pose (R (3,3), t (3,)). Use ``pose_history()``
         for host Isometries."""
+        self._spill_pose_log(1)
         if set_pose is not None:
             pre = self.preprocess(rgb, depth, calib, depth_cut)
             pose = (jnp.asarray(set_pose.q.rotation_matrix, jnp.float32),
@@ -611,6 +630,7 @@ class SDFTracker:
         frames between cadences."""
         assert self.all_pd_pose and self.prev_pyr is not None, \
             "block tracking needs a tracked/set first frame"
+        self._spill_pose_log(int(rgb_k.shape[0]))
         last_R, last_t = self.all_pd_pose[-1]
         pts, nrm, mask = self.last_processed_pc
         colors = self.last_colored_pcd[1]
@@ -642,7 +662,10 @@ class SDFTracker:
         n = self.n_tracked
         if n == 0:
             return []
-        log = np.asarray(self._pose_log[:((n + 255) // 256) * 256])[:n]
+        live = n - self._n_archived
+        log = np.asarray(self._pose_log[:((live + 255) // 256) * 256])[:live]
+        if self._pose_archive:
+            log = np.concatenate(self._pose_archive + [log])
         return [Isometry.from_matrix(np.asarray(e[:, :3], np.float64),
                                      np.asarray(e[:, 3], np.float64), ortho=True)
                 for e in log]
