@@ -2,7 +2,7 @@
 """Headline benchmark: online tracking+fusion fps on the flagship lr-kt
 workload (640x480 RGB-D, ICL-NUIM disk format, fusion-lr-kt-fast config).
 
-Two workloads run back to back:
+Three workloads run back to back:
 
 1. **lr-kt flagship** (the headline metric): the exported ICL-NUIM-format
    sequence read through the real `ICLNUIMSequence` disk reader, the
@@ -10,7 +10,10 @@ Two workloads run back to back:
    sparse photometric term, 4M triangle budget, 0.1 m voxel map over the
    lr-kt bounds).  The reference's own demo workload (BASELINE.md:33 target:
    >=10 fps).
-2. **synth quick bench** (continuity with BENCH_r01/r02): the hermetic
+2. **lr-kt parity** (recorded + gated every round, VERDICT r4 #2): the
+   UNMODIFIED reference-faithful `configs/fusion-lr-kt.yaml` through the
+   identical protocol — dense photometric term, reference GN schedule.
+3. **synth quick bench** (continuity with BENCH_r01/r02): the hermetic
    synthetic sequence + fusion-synth.yaml.
 
 The timed window is steady-state: a device sync brackets each side, so it
@@ -67,6 +70,15 @@ DROP_GATE = 0.05
 # quiet-state measurements but high enough to catch real regressions.
 FPS_FLOOR_LRKT = float(os.environ.get("BENCH_FPS_FLOOR_LRKT", 8.0))
 FPS_FLOOR_SYNTH = float(os.environ.get("BENCH_FPS_FLOOR_SYNTH", 20.0))
+# The unmodified reference-faithful fusion-lr-kt.yaml runs as a second
+# recorded+gated workload every round (VERDICT r4 directive #2).  Floor
+# philosophy matches FPS_FLOOR_LRKT: just under the reference's >=10 fps
+# BASELINE target, well below quiet-state measurements (>=80 fps, round 5)
+# because tunnel load moves wall throughput ~10x.  Quality gates are ~2x
+# the quiet-state measurements (ATE 10.1 mm, mesh 14.2 mm, PARITY.md).
+FPS_FLOOR_PARITY = float(os.environ.get("BENCH_FPS_FLOOR_PARITY", 8.0))
+PARITY_ATE_GATE = float(os.environ.get("BENCH_PARITY_ATE_GATE", 0.02))
+PARITY_MESH_GATE = float(os.environ.get("BENCH_PARITY_MESH_GATE", 0.028))
 # warm-cache time to the first tracked frame (compile-cache deserialization
 # + first execution).  VERDICT r3 weak #2: this regressed 61.5 -> 216.8 s
 # between rounds with nothing gating it.  Round-4 measurement: wall time is
@@ -268,18 +280,21 @@ def _sync_all(pipe):
         jax.device_get([p.result.n_triangles for p in pending])
 
 
-def run_lrkt():
+def run_lrkt(cfg_name=None):
     import jax
 
     from nerf_fusion_tpu.data.icl_nuim import ICLNUIMSequence
     from nerf_fusion_tpu.utils.evaluate import ate_rmse
 
     tq = _ensure_lrkt_data()
-    # BENCH_LRKT_CONFIG selects the workload config: the default headline
-    # is the documented fast variant; "fusion-lr-kt.yaml" runs the
-    # unmodified reference-faithful parity config through the identical
-    # protocol (VERDICT r3 missing #1 — recorded in PARITY.md).
-    cfg_name = os.environ.get("BENCH_LRKT_CONFIG", "fusion-lr-kt-fast.yaml")
+    # BENCH_LRKT_CONFIG selects the headline workload config (default: the
+    # documented fast variant).  The unmodified reference-faithful
+    # "fusion-lr-kt.yaml" parity config ALSO runs every round through the
+    # identical protocol as a second recorded+gated workload (VERDICT r4
+    # directive #2) — see run-parity in main().
+    if cfg_name is None:
+        cfg_name = os.environ.get("BENCH_LRKT_CONFIG",
+                                  "fusion-lr-kt-fast.yaml")
     pipe, args = _build(REPO / "configs" / cfg_name, first_tq=tq)
     seq = ICLNUIMSequence(path=str(LRKT_DATA), start_frame=0, end_frame=-1,
                           first_tq=tq, load_gt=True)
@@ -356,8 +371,65 @@ def run_synth():
             "drop_max": _drop_max(drops)}
 
 
+def run_recheck():
+    """Subprocess mode (BENCH_RECHECK=1): verify the persistent cache now
+    serves every big program.  A fresh process has an empty in-memory jit
+    cache, so any program the on-disk cache cannot serve shows up as a
+    PERSISTENT CACHE MISS here.  Runs one full integrate+mesh cadence per
+    bench config so all four BIG_PROGRAMS are exercised.  Prints one JSON
+    line {"recheck_misses": [...]}."""
+    from nerf_fusion_tpu.data.icl_nuim import ICLNUIMSequence
+
+    misses = _install_miss_counter()
+    tq = _ensure_lrkt_data()
+    cfgs = [os.environ.get("BENCH_LRKT_CONFIG", "fusion-lr-kt-fast.yaml")]
+    if int(os.environ.get("BENCH_PARITY", "1")):
+        cfgs.append("fusion-lr-kt.yaml")
+    for cfg in dict.fromkeys(cfgs):
+        pipe, args = _build(REPO / "configs" / cfg, first_tq=tq)
+        seq = ICLNUIMSequence(path=str(LRKT_DATA), start_frame=0,
+                              end_frame=-1, first_tq=tq, load_gt=True)
+        frames = [next(seq) for _ in range(CADENCE + 1)]
+        for i, f in enumerate(frames):
+            pipe.process_frame(f, i)
+        pipe.flush_frames()
+        _sync_all(pipe)
+    print(json.dumps({"recheck_misses": sorted(set(misses.misses))}))
+
+
+def _recheck_cache() -> list:
+    """Re-verify the persistent cache in a subprocess; returns its miss
+    list (or a sentinel on subprocess failure).
+
+    Why: the round-4 driver bench failed rc=5 because the cache had been
+    populated BEFORE the round's final commits changed the traced programs
+    — every big program missed once, repopulating the cache as a side
+    effect, and the gate (correctly) called the run not-warm.  That stale
+    state is self-healing: by the time the gate fires, this very process
+    has written the fresh entries.  So on a miss we distinguish the two
+    causes: a clean subprocess recheck = the cache was merely stale and is
+    now repopulated (pass, recorded as cache_was_stale); misses that
+    SURVIVE into a fresh process = cache-key instability across processes
+    with identical code (the real bug class) = still rc=5."""
+    import subprocess
+
+    env = dict(os.environ, BENCH_RECHECK="1")
+    try:
+        proc = subprocess.run([sys.executable, __file__], env=env,
+                              capture_output=True, text=True, timeout=1200)
+        for line in reversed(proc.stdout.strip().splitlines()):
+            if line.startswith("{"):
+                return json.loads(line)["recheck_misses"]
+        return ["<recheck produced no result>"]
+    except Exception as e:          # timeout, json, spawn failure
+        return [f"<recheck failed: {type(e).__name__}>"]
+
+
 def main():
     logging.basicConfig(level=logging.ERROR)
+    if os.environ.get("BENCH_RECHECK"):
+        run_recheck()
+        return
     cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR", "")
     # "" disables the cache (utils/cache.py); Path("") is "." which would
     # read as a warm cache.  "Warm" means the big per-frame program is
@@ -372,9 +444,16 @@ def main():
     misses = _install_miss_counter()
     only = os.environ.get("BENCH_ONLY", "")
     lrkt = run_lrkt() if only in ("", "lrkt") else None
+    # parity workload: the unmodified reference-faithful config, same
+    # protocol (skipped if it already IS the headline via BENCH_LRKT_CONFIG)
+    run_parity = (only in ("", "parity")
+                  and int(os.environ.get("BENCH_PARITY", "1"))
+                  and os.environ.get("BENCH_LRKT_CONFIG",
+                                     "") != "fusion-lr-kt.yaml")
+    parity = run_lrkt("fusion-lr-kt.yaml") if run_parity else None
     synth = run_synth() if only in ("", "synth") else None
 
-    head = lrkt or synth
+    head = lrkt or parity or synth
     out = {
         "metric": ("lrkt_online_fusion_fps_640x480" if lrkt
                    else "online_fusion_fps_640x480"),
@@ -391,13 +470,19 @@ def main():
         out["fps_windows"] = lrkt["fps_windows"]
         out["fps_best"] = round(max(lrkt["fps_windows"]), 2)
         out["fps_worst"] = round(min(lrkt["fps_windows"]), 2)
+    if parity:
+        out["parity_fps"] = round(parity["fps"], 3)
+        out["parity_fps_windows"] = parity["fps_windows"]
+        out["parity_ate_rmse_m"] = round(parity["ate"], 5)
+        out["parity_mesh_abs_sdf_m"] = round(parity["mesh_err"], 5)
+        out["parity_drop_max"] = round(parity["drop_max"], 5)
+        out["parity_first_frame_s"] = round(parity["first_frame_s"], 2)
     if cache_warm:
         out["big_program_cache_misses"] = sorted(set(misses.misses))
-    if synth and lrkt:
+    if synth and (lrkt or parity):
         out["synth_fps"] = round(synth["fps"], 3)
         out["synth_ate_rmse_m"] = round(synth["ate"], 5)
         out["synth_mesh_abs_sdf_m"] = round(synth["mesh_err"], 5)
-    print(json.dumps(out))
 
     rc = 0
     checks = []
@@ -414,13 +499,33 @@ def main():
                   f"{lrkt['first_frame_s']:.1f} > gate "
                   f"{FIRST_FRAME_GATE_S}", file=sys.stderr)
             rc = 5
+    if parity:
+        checks += [("parity ate", parity["ate"], PARITY_ATE_GATE),
+                   ("parity mesh_err", parity["mesh_err"], PARITY_MESH_GATE),
+                   ("parity drop", parity["drop_max"], DROP_GATE)]
+        if parity["fps"] < FPS_FLOOR_PARITY:
+            print(f"FAIL: parity fps {parity['fps']:.2f} < floor "
+                  f"{FPS_FLOOR_PARITY}", file=sys.stderr)
+            rc = 4
     if cache_warm and misses.misses:
         # the structural first-frame gate: a warm cache must serve every
-        # big program; a miss means the program set or its cache keys
-        # drifted (the true round-3 regression), independent of tunnel load
-        print(f"FAIL: warm cache missed big programs: "
-              f"{sorted(set(misses.misses))}", file=sys.stderr)
-        rc = 5
+        # big program.  A miss has two possible causes, and a subprocess
+        # recheck (fresh in-memory jit cache against the NOW-repopulated
+        # persistent cache) distinguishes them:
+        #   stale cache (programs changed after the last populating run —
+        #   the round-4 rc=5): this run repopulated it; recheck is clean;
+        #   record + pass.
+        #   cache-key instability (misses survive into a fresh process
+        #   with identical code): the real regression; rc=5.
+        recheck = _recheck_cache()
+        if recheck:
+            print(f"FAIL: warm cache missed big programs "
+                  f"{sorted(set(misses.misses))}; misses persist after "
+                  f"repopulation: {recheck}", file=sys.stderr)
+            rc = 5
+        else:
+            out["cache_was_stale"] = sorted(set(misses.misses))
+            out["big_program_cache_misses"] = []
     if synth:
         checks += [("synth ate", synth["ate"], ATE_GATE),
                    ("synth mesh_err", synth["mesh_err"], MESH_ERR_GATE),
@@ -434,6 +539,7 @@ def main():
             print(f"FAIL: {name} {val:.5f} exceeds gate {gate}",
                   file=sys.stderr)
             rc = 2
+    print(json.dumps(out))
     sys.exit(rc)
 
 
