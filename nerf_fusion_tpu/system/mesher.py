@@ -110,7 +110,7 @@ def _upsample_blend_matrix(r: int) -> np.ndarray:
 def fused_extract(state, updated_mask, cfg, dec_params, dec_cfg,
                   r: int, fast: bool, mesh_budget: int, tri_budget: int,
                   reeval_budget: int, max_std, precision: str = "high",
-                  blend=None):
+                  blend=None, mesh_cache=None, reuse_eps=0.0):
     """The WHOLE incremental extraction as one device program.
 
     Candidate selection (updated slots -> 6-neighbour expansion -> dedup ->
@@ -127,11 +127,28 @@ def fused_extract(state, updated_mask, cfg, dec_params, dec_cfg,
     overflow degrades into deferred incremental work instead of a full
     re-mesh through the (compile-heavy) chunked path.
 
+    ``mesh_cache`` (optional): a per-slot snapshot of each voxel's latent
+    as of its last successful meshing — ``(lat (C, L) f32, valid (C,)
+    bool)``.  An updated voxel whose latent moved < ``reuse_eps``
+    (max-abs) since it was last meshed produces (to eps) the same SDF
+    field, hence the same triangles: it is dropped from the re-mesh set
+    BEFORE the 6-neighbour dilation, shrinking the decode scan, the
+    marching-cubes batch, and the host cache churn.  The obs-count-
+    weighted Bayesian mean makes sub-eps updates the common case late in
+    a run (reference intent: incremental re-meshing, map.py:582-724).
+    Neighbours of a genuinely changed voxel still re-mesh via the
+    dilation, so cross-voxel interpolation seams stay crack-free.
+
     :return: (MCResult, mesh_ids (mesh_budget,), keep (mesh_budget,) bool,
-              map_overflow (), leftover (C,) bool, n_leftover ()).
+              map_overflow (), leftover (C,) bool, n_leftover (),
+              new_mesh_cache (same structure as ``mesh_cache``, or None)).
     """
     C = cfg.latent_capacity
     upd = updated_mask & (state.positions >= 0)
+    if mesh_cache is not None:
+        cache_lat, cache_valid = mesh_cache
+        delta = jnp.max(jnp.abs(state.latents - cache_lat), axis=-1)
+        upd = upd & (~cache_valid | (delta > reuse_eps))
     upd_ids, upd_valid, _ = voxops.compact_by_mask(state.positions, upd, mesh_budget)
     exp_ids, exp_valid = voxops.expand_neighbors6(upd_ids, upd_valid, cfg.n_xyz)
     uniq, uniq_valid, _, ovf_u = voxops.masked_unique(exp_ids, exp_valid, mesh_budget)
@@ -153,6 +170,16 @@ def fused_extract(state, updated_mask, cfg, dec_params, dec_cfg,
         jnp.where(keep, slot_c, C)].set(
         jnp.arange(mesh_budget, dtype=jnp.int32), mode="drop")
     lat_b = jnp.where(keep[:, None], state.latents[slot_c], 0.0)
+    if mesh_cache is not None:
+        # Snapshot the latents of the voxels actually meshed in THIS batch
+        # (truncated/deferred voxels keep their stale snapshot and stay
+        # "changed" until a later batch takes them).
+        dst = jnp.where(keep, slot_c, C)
+        new_mesh_cache = (
+            cache_lat.at[dst].set(state.latents[slot_c], mode="drop"),
+            cache_valid.at[dst].set(True, mode="drop"))
+    else:
+        new_mesh_cache = None
 
     # Deferral set: every allocated+confident slot in the 6-neighbour
     # dilation of the updated set that this batch did NOT process.  Empty
@@ -210,7 +237,8 @@ def fused_extract(state, updated_mask, cfg, dec_params, dec_cfg,
         cube_sdf, cube_std, cfg.n_xyz, cfg.voxel_size,
         jnp.asarray(cfg.bound_min, jnp.float32),
         r, C, max_std, tri_budget, blend=blend)
-    return result, uniq, keep, state.overflow, leftover, n_leftover
+    return (result, uniq, keep, state.overflow, leftover, n_leftover,
+            new_mesh_cache)
 
 
 @functools.partial(jax.jit, static_argnames=("dec_cfg", "r", "fast",
@@ -290,7 +318,8 @@ class Mesher:
                  reeval_fraction: float = 0.25, device=None,
                  mesh_batch_budget: int = 4096,
                  decode_precision: str = "high",
-                 mesh_fast: bool = False):
+                 mesh_fast: bool = False,
+                 reuse_latent_eps: float = 0.0):
         """``device``: optional second jax device; decode + marching cubes
         then run there on a snapshot copied over ICI, overlapping the
         fusion/tracking programs on the main device (the reference's
@@ -318,6 +347,14 @@ class Mesher:
                                     max(1 << 15, self.mesh_budget * 64))
         self._need_full_remesh = False
         self._blend_cache = {}   # (r, device) -> device (mats, colsums)
+        # Latent-reuse re-mesh gating (fused path): skip updated voxels
+        # whose latent moved < eps (max-abs) since their last meshing.
+        # 0 disables.  The snapshot is keyed by the extraction parameters
+        # that shape triangles — a changed (r, fast, max_std, precision)
+        # would otherwise leave stale-by-parameters triangles cached.
+        self.reuse_latent_eps = float(reuse_latent_eps)
+        self._mesh_cache = None       # (lat (C,L), valid (C,)) device arrays
+        self._mesh_cache_key = None   # (r, fast, max_std, precision)
         # Join any in-flight async extraction at interpreter exit: a daemon
         # thread mid-device-op during runtime teardown aborts the process.
         import atexit
@@ -473,11 +510,27 @@ class Mesher:
         r = int(voxel_resolution)
         reeval_budget = max(1024, int(MESH_CHUNK * (2 * r) ** 3
                                       * self.reeval_fraction))
-        result, ids, keep, map_ovf, leftover, n_left = fused_extract(
-            state, upd, vmap.cfg, dec_params, vmap.model.decoder_config,
-            r, fast, self.mesh_budget, self.fused_tri_budget,
-            reeval_budget, float(max_std), self.decode_precision,
-            blend=self._get_blend(r, self.device))
+        mesh_cache = None
+        if self.reuse_latent_eps > 0.0:
+            key = (r, fast, float(max_std), self.decode_precision)
+            if self._mesh_cache is None or self._mesh_cache_key != key:
+                C = vmap.cfg.latent_capacity
+                L = state.latents.shape[-1]
+                mesh_cache = jax.device_put(
+                    (jnp.zeros((C, L), jnp.float32), jnp.zeros((C,), bool)),
+                    self.device)
+                self._mesh_cache_key = key
+            else:
+                mesh_cache = self._mesh_cache
+        result, ids, keep, map_ovf, leftover, n_left, new_cache = \
+            fused_extract(
+                state, upd, vmap.cfg, dec_params, vmap.model.decoder_config,
+                r, fast, self.mesh_budget, self.fused_tri_budget,
+                reeval_budget, float(max_std), self.decode_precision,
+                blend=self._get_blend(r, self.device), mesh_cache=mesh_cache,
+                reuse_eps=jnp.float32(self.reuse_latent_eps))
+        if new_cache is not None:
+            self._mesh_cache = new_cache
         # Truncated batches defer their remainder: the leftover mask rides
         # in the pending entry and is folded back into the map's updated
         # accumulator at drain time iff non-empty (an unconditional
@@ -493,6 +546,13 @@ class Mesher:
     def _extract_chunked(self, voxel_resolution: int, max_std: float,
                          fast: bool, no_cache: bool, materialize: bool = True):
         import jax
+
+        # The chunked path re-meshes without consulting or updating the
+        # latent-reuse snapshot, so the snapshot no longer reflects the
+        # latents behind the cached triangles: drop it (every voxel
+        # re-reads as "changed" at the next fused extraction).
+        self._mesh_cache = None
+        self._mesh_cache_key = None
 
         vmap, cfg = self.map, self.map.cfg
         state = vmap.state

@@ -53,7 +53,9 @@ class FusionPipeline:
             mesh_batch_budget=int(getattr(args, "mesh_batch_budget", 4096)),
             decode_precision=str(
                 getattr(args, "mesh_decode_precision", "high")),
-            mesh_fast=self.mesh_fast)
+            mesh_fast=self.mesh_fast,
+            reuse_latent_eps=float(
+                getattr(args, "mesh_reuse_latent_eps", 0.0)))
         budget = point_budget or int(getattr(map_args, "points_capacity", 16384))
         self.tracker = SDFTracker(self.map, args.tracking, point_budget=budget)
         self.timer = StageTimer()

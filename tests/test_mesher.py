@@ -248,3 +248,66 @@ def test_pipeline_mesh_knobs_threaded(tmp_path):
     pipe2 = FusionPipeline(model, args, point_budget=1024)
     assert pipe2.mesh_fast is True
     assert pipe2.mesher.decode_precision == "high"
+
+
+def test_mesh_reuse_latent_eps_skips_and_matches():
+    """Latent-reuse re-mesh gating (Mesher(reuse_latent_eps>0), VERDICT r4
+    #4): an updated voxel whose latent did not move since its last meshing
+    is skipped (white-box: the dispatched batch keeps zero rows), the
+    cached mesh is bitwise unchanged, and the result equals a from-scratch
+    eps=0 mesher's output over the identical integrations."""
+    if not REF_CKPT.exists():
+        pytest.skip("reference checkpoint not present")
+    model, margs = load_model(REF_CKPT, 300)
+    # The thresholds are pushed out of reach so re-integrating the SAME
+    # cloud is exactly idempotent and the gate must skip everything:
+    #  * ignore_count_th=0 — voxels that newly cross a confidence
+    #    threshold on the second pass legitimately re-mesh (their cache
+    #    entries are invalid);
+    #  * encoder_count_th=1e9 — voxels crossing the encoder cap drop out
+    #    of the reference pre-prune focus set (map.py:390-398), which
+    #    shifts the contribution mix of their still-eligible neighbours
+    #    and legitimately moves those latents (> eps).
+    args = dict_to_args(dict(
+        bound_min=[0.0, 0.0, 0.0], bound_max=[1.0, 1.0, 1.0], voxel_size=0.1,
+        prune_min_vox_obs=4, ignore_count_th=0.0, encoder_count_th=1e9,
+        latent_capacity=2048, alloc_capacity=512))
+
+    def build():
+        vmap = SparseVoxelMap(model, args, latent_dim=margs.code_length)
+        rng = np.random.RandomState(0)
+        n = 6000
+        pts = np.stack([rng.uniform(0.3, 0.7, n), rng.uniform(0.3, 0.7, n),
+                        np.full(n, 0.55) + rng.randn(n) * 0.002],
+                       axis=1).astype(np.float32)
+        nrm = np.tile(np.asarray([[0.0, 0.0, 1.0]], np.float32), (n, 1))
+        return vmap, pts, nrm
+
+    vmap, pts, nrm = build()
+    mesher = Mesher(vmap, max_n_triangles=1 << 15, reuse_latent_eps=1e-4)
+    vmap.integrate_keyframe(pts, nrm)
+    mesh1 = mesher.extract(4, max_std=0.3, fast=False).copy()
+    assert len(mesh1) > 50
+
+    # Same-data re-integration: the count-weighted Bayesian mean is exactly
+    # unchanged (sum doubles, count doubles), so with the gate every
+    # re-marked voxel is skipped and the cached mesh survives untouched.
+    vmap.integrate_keyframe(pts, nrm)
+    mesher._dispatch_fused(4, 0.3, False)
+    assert mesher._pending, "expected a dispatched batch"
+    assert int(np.asarray(mesher._pending[-1].keep).sum()) == 0
+    assert np.array_equal(mesher.current_mesh(), mesh1)
+
+    # An eps=0 mesher over the identical data produces the same triangles
+    # (sorted comparison: batch composition may reorder them).
+    vmap2, pts2, nrm2 = build()
+    mesher2 = Mesher(vmap2, max_n_triangles=1 << 15)    # reuse disabled
+    vmap2.integrate_keyframe(pts2, nrm2)
+    vmap2.integrate_keyframe(pts2, nrm2)
+    mesh2 = mesher2.extract(4, max_std=0.3, fast=False)
+
+    def canon(m):
+        flat = np.asarray(m).reshape(len(m), -1)
+        return flat[np.lexsort(flat.T[::-1])]
+
+    assert np.allclose(canon(mesh1), canon(mesh2), atol=1e-5)
