@@ -194,6 +194,11 @@ def _build(config_path, first_tq=None):
     args.mapping = exp_util.dict_to_args(args.mapping)
     args.tracking = exp_util.dict_to_args(args.tracking)
     args.run_async = bool(int(os.environ.get("BENCH_ASYNC", "0")))
+    # BENCH_REUSE_EPS: override the latent-reuse re-mesh gate (mesher skips
+    # updated voxels whose latent moved < eps since their last meshing) for
+    # eps sweeps without editing configs.  Unset = config value.
+    if os.environ.get("BENCH_REUSE_EPS"):
+        args.mesh_reuse_latent_eps = float(os.environ["BENCH_REUSE_EPS"])
     # BENCH_OPTIMIZE=1: enable the per-keyframe latent refinement (the
     # reference's dormant OptimizeProcess capability) for a capability-on
     # throughput number; OFF matches the reference's shipped behaviour.

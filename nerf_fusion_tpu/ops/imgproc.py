@@ -459,7 +459,11 @@ def select_photometric_pixels(cur_intensity, cur_depth, cur_dIdxy,
     # top_k's VALUES give the validity test for free, and the four
     # per-pixel channels pack into ONE (N,4) row gather (minor-dim row
     # gathers lower ~3.4x faster than packed complex64 gathers on TPU —
-    # tools/gather_exp2.py).
+    # tools/gather_exp2.py).  lax.top_k was kept over approx_max_k (probed
+    # in the round-3 topk_exp, deleted round 5): the whole selection runs
+    # once per frame (~0.9 ms including the gathers), so a faster
+    # approximate select moves the frame budget negligibly while making
+    # the selected set nondeterministic.
     vals, idx = jax.lax.top_k(score, kk)
     valid = vals >= 0.0
     u = (idx % w).astype(jnp.float32)

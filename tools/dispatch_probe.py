@@ -4,7 +4,7 @@ dispatch-only (no sync) vs sync-bracketed windows.  If dispatch-only wall
 per frame ~= synced wall per frame, the pipeline is HOST-bound (each
 dispatch's RPC through the tunnel gates throughput, not device time).
 
-    python tools/dispatch_probe.py
+    python tools/dispatch_probe.py [config-name.yaml]
 """
 
 import json
@@ -32,7 +32,8 @@ def main():
 
     repo = Path(__file__).resolve().parent.parent
     data = repo / "output" / "lrkt_data" / "lr-kt"
-    args = exp_util.parse_config_yaml(repo / "configs" / "fusion-lr-kt-fast.yaml")
+    cfg = sys.argv[1] if len(sys.argv) > 1 else "fusion-lr-kt-fast.yaml"
+    args = exp_util.parse_config_yaml(repo / "configs" / cfg)
     model, margs = load_model(repo / args.training_hypers, args.using_epoch)
     args.model = margs
     args.mapping = exp_util.dict_to_args(args.mapping)

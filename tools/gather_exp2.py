@@ -5,6 +5,16 @@ Variants: f32 single-plane gather, complex64 packed gather, two f32
 gathers, elementwise-chain baseline, and rgb_odometry with optimization
 barriers that stop XLA re-computing the warp inside every consumer fusion.
 
+Supersedes the round-2 gather_exp.py (deleted round 5), whose findings
+stand: sorted vs random index order makes no measurable difference to
+the TPU gather (no sort is worth paying for), and the half-resolution
+resize is fastest as separable constant blend-matrix MXU matmuls (the
+production resize_half_bilinear).  tools/gather_exp3.py adds the round-5
+Pallas probe: Mosaic only lowers take_along_axis-style 2D gathers
+(tpu.dynamic_gather needs input/indices/output shapes equal), which
+cannot express an arbitrary image warp without lane-routing conflicts —
+the XLA 64-bit (N,2) row gather at ~4.5 ns/row stays the floor.
+
     python tools/gather_exp2.py
 """
 
