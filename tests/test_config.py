@@ -53,6 +53,22 @@ def test_reference_configs_parse():
         assert args is not None
 
 
+def test_fast_config_tpu_knobs():
+    """The documented TPU speed knobs of the fast config stay pinned: the
+    parity config must NOT inherit them (reference-faithful defaults), and
+    the fast config ships the round-5 latent-reuse gate."""
+    from pathlib import Path
+    cfg_dir = Path(__file__).resolve().parent.parent / "configs"
+    fast = parse_config_yaml(cfg_dir / "fusion-lr-kt-fast.yaml")
+    assert fast.mesh_reuse_latent_eps == 0.003
+    assert fast.mesh_decode_precision == "default"
+    assert fast.tracking["rgb"]["stride"] == 2
+    parity = parse_config_yaml(cfg_dir / "fusion-lr-kt.yaml")
+    assert getattr(parity, "mesh_reuse_latent_eps", 0.0) == 0.0
+    assert getattr(parity, "mesh_decode_precision", "high") == "high"
+    assert parity.tracking["rgb"]["stride"] == 1
+
+
 def test_reference_hyper_json_parses():
     from pathlib import Path
     ref = Path("/root/reference/ckpt/default/hyper.json")
